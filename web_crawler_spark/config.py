@@ -1,0 +1,38 @@
+"""Engine configuration.
+
+Defaults mirror the reference's configuration surface
+(feeder/src/config.rs:30-38, manager/src/routes/crawl.rs:28):
+max_attempts=3, max_dns_depth=5, max_crawl_depth=5.  Politeness / robots /
+bloom knobs are new capabilities required by the north rule (the reference
+has no per-host awareness).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # reference-parity knobs
+    max_attempts: int = 3          # feeder/src/config.rs:33
+    max_dns_depth: int = 5         # feeder/src/config.rs:34
+    max_crawl_depth: int = 5       # manager/src/routes/crawl.rs:28
+
+    # deterministic-simulation knobs (sandbox stand-ins for live HTTP/DNS)
+    dns_resolve_permille: int = 985   # P(suffix resolves) = 985/1000
+    seed_tag: str = "v1"              # namespaces all hash-derived randomness
+
+    # politeness / skew (north-rule additions; None = unlimited, reference parity)
+    host_budget_per_wave: int | None = None
+    politeness_salt: int = 16         # salt fan-out for the per-host top-k window
+    respect_robots: bool = False
+
+    # dedup physical plan
+    use_bloom_prefilter: bool = True
+    bloom_bits_per_key: int = 16      # ~0.04% FPP with 2 probes
+    bloom_num_probes: int = 2
+    dedup_buckets: int = 32           # co-partition bucket count for anti-joins
+
+    # snapshot store
+    compact_every_waves: int = 8
