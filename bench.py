@@ -1,0 +1,139 @@
+"""Benchmark: headline crawl-engine run + operator queries.
+
+Prints ONE JSON line:
+  {"metric": "crawl_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "crawl": {urls_processed, urls_per_sec, waves, nodes, edges},
+   "cpus": N}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir for the operator queries
+                       (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32) — run at 8 and
+                       32 for the N-vs-4N scaling-efficiency evidence
+  SPARK_GRAFT_NDOCS    synthetic corpus size for the crawl bench
+                       (default 60000)
+  SPARK_GRAFT_DEPTH    crawl depth (default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+NDOCS = int(os.environ.get("SPARK_GRAFT_NDOCS", "60000"))
+DEPTH = int(os.environ.get("SPARK_GRAFT_DEPTH", "3"))
+
+BENCH_QUERIES = [
+    "progress_counts",
+    "stats_distinct_max",
+    "anti_join_seen_set",
+    "left_outer_progress",
+    "first_writer_dedup",
+    "politeness_topk",
+    "minhash_band_buckets",
+    "token_count",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+    from web_crawler_spark.config import CrawlConfig
+    from web_crawler_spark.corpus import CorpusParams, doc_id_for, generate_documents_df
+    from web_crawler_spark.engine import CrawlEngine
+    from web_crawler_spark.store import SnapshotStore
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("web_crawler_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- crawl-engine headline: synthetic corpus, multi-wave BFS ----
+    params = CorpusParams(n_docs=NDOCS, urls_per_host=8)
+    tmp = tempfile.mkdtemp(prefix="bench_corpus_")
+    corpus_path = f"{tmp}/documents.parquet"
+    generate_documents_df(spark, params, partitions=CPUS * 2).write.parquet(
+        corpus_path
+    )
+    docs = spark.read.parquet(corpus_path)
+    cfg = CrawlConfig(host_budget_per_wave=None)
+    store = SnapshotStore(f"{tmp}/store")
+    eng = CrawlEngine(spark, store, docs, cfg)
+
+    # deterministic seed: first alive doc (root admission is retried over
+    # candidates driver-side — pure python, no Spark)
+    from web_crawler_spark.functions.urls import normalize_url_py
+    from web_crawler_spark.sources.simulators import dns_py, fetch_outcome_py
+
+    seed = None
+    for i in range(200):
+        did = doc_id_for(i, params)
+        name, _ = normalize_url_py(did)
+        if dns_py(name, cfg)[0] and fetch_outcome_py(did, True, 0, cfg)[0]:
+            seed = did
+            break
+    assert seed is not None
+
+    t0 = time.time()
+    cid = eng.start_crawl(seed, DEPTH, crawl_id="bench")
+    eng.run_crawl(cid)
+    crawl_sec = time.time() - t0
+
+    m = store.metrics(spark, cid).filter("partition_id = -1").collect()
+    urls_processed = sum(r.fetched for r in m)
+    candidates = sum(r.candidates for r in m)
+    nodes = store.frontier(spark, cid).count()
+    edges = store.edges(spark, cid).count()
+
+    # ---- operator queries over the driver testdata ----
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    qs = entry_mod.queries()
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t = time.time()
+        qs[name](spark, SF_DIR).collect()
+        qtimes[name] = round(time.time() - t, 3)
+
+    out = {
+        "metric": "crawl_wall_sec",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cpus": CPUS,
+        "crawl": {
+            "n_docs": NDOCS,
+            "depth": DEPTH,
+            "waves": len(m),
+            "urls_processed": int(urls_processed),
+            "candidates_deduped": int(candidates),
+            "urls_per_sec": round(urls_processed / crawl_sec, 2),
+            "nodes": int(nodes),
+            "edges": int(edges),
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Read-API parity: progress/list/stats/graph vs the oracle's aggregates
+(reference: manager/src/services/crawl_service.rs + graph_service.rs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.helpers import good_seeds
+from web_crawler_spark.config import CrawlConfig
+from web_crawler_spark.corpus import CorpusParams, build_corpus_py, documents_df_from_py
+from web_crawler_spark.engine import CrawlEngine
+from web_crawler_spark.oracle import OracleCrawler
+from web_crawler_spark.queries import crawl_progress, crawl_stats, graph_data, list_crawls
+from web_crawler_spark.store import SnapshotStore
+
+PARAMS = CorpusParams(n_docs=100)
+CFG = CrawlConfig()
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    corpus = build_corpus_py(PARAMS)
+    docs = documents_df_from_py(spark, corpus).cache()
+    store = SnapshotStore(tmp_path_factory.mktemp("store"))
+    eng = CrawlEngine(spark, store, docs, CFG)
+    seeds = good_seeds(corpus, CFG, limit=2)
+    oracles = {}
+    for i, seed in enumerate(seeds):
+        cid = f"c{i}"
+        eng.start_crawl(seed, 2, crawl_id=cid)
+        eng.run_crawl(cid)
+        oracles[cid] = OracleCrawler(corpus, CFG).crawl(seed, 2, crawl_id=cid)
+    yield store, oracles
+    docs.unpersist()
+
+
+def test_crawl_progress(spark, crawled):
+    store, oracles = crawled
+    for cid, o in oracles.items():
+        p = crawl_progress(spark, store, cid)
+        counts = o.status_counts()
+        assert p["total_urls"] == len(o.nodes)
+        assert p["completed"] == counts["COMPLETED"]
+        assert p["failed"] == counts["FAILED"]
+        assert p["pending"] == counts["PENDING"]
+        assert p["derived_status"] == o.derived_status()
+
+
+def test_crawl_stats(spark, crawled):
+    store, oracles = crawled
+    for cid, o in oracles.items():
+        s = crawl_stats(spark, store, cid)
+        ost = o.stats()
+        assert s["total_urls"] == ost["total"]
+        assert s["distinct_domains"] == ost["distinct_domains"]
+        assert s["max_depth"] == ost["max_depth"]
+
+
+def test_list_crawls_pagination(spark, crawled):
+    store, oracles = crawled
+    items, total = list_crawls(spark, store)
+    assert total == len(oracles)
+    assert [i["crawl_id"] for i in items] == sorted(oracles)  # created order
+    page1, total1 = list_crawls(spark, store, offset=0, limit=1)
+    page2, _ = list_crawls(spark, store, offset=1, limit=1)
+    assert total1 == total and len(page1) == 1 and len(page2) == 1
+    assert page1[0]["crawl_id"] != page2[0]["crawl_id"]
+    assert [page1[0]["crawl_id"], page2[0]["crawl_id"]] == [
+        i["crawl_id"] for i in items
+    ]
+    done, _ = list_crawls(spark, store, status="completed")
+    assert {i["crawl_id"] for i in done} == {
+        cid for cid, o in oracles.items() if o.derived_status() == "completed"
+    }
+    none, _ = list_crawls(spark, store, status="running")
+    assert none == []
+
+
+def test_graph_data(spark, crawled):
+    store, oracles = crawled
+    for cid, o in oracles.items():
+        g = graph_data(spark, store, cid)
+        url_nodes = {n["id"] for n in g["nodes"] if n["label"] == "URL"}
+        assert url_nodes == set(o.nodes)
+        assert len([n for n in g["nodes"] if n["label"] == "ROOT"]) == 1
+        assert {(e["source"], e["target"]) for e in g["edges"]} == {
+            (s, d) for s, d, _ in o.edges
+        }

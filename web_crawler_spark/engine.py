@@ -1,0 +1,509 @@
+"""Wave-synchronous BFS crawl engine — the Spark-native reference rewrite.
+
+One *wave* replaces the reference's entire claim/fetch/dedup/merge loop
+(/root/reference/feeder/src/job.rs:263-351) for the whole eligible frontier
+at once, as a single declarative DataFrame pipeline:
+
+    eligible  = frontier WHERE status='PENDING'          [+ politeness top-B]
+    fetched   = eligible LEFT JOIN documents ON full_key = doc_id
+    outcomes  = deterministic fetch simulation (404 / timeout+retry / ok)
+    links     = posexplode(text spans) -> regexp_extract_all -> posexplode
+    local     = per-parent distinct on canonical key, min in-page position
+    fresh     = local LEFT ANTI JOIN frontier ON (crawl_id,url_hash,full_key)
+    admitted  = DNS simulation + robots filter (column expressions only)
+    winners   = row_number() OVER (PARTITION BY child ORDER BY parent,pos)=1
+    commit    = inserts(children) + updates(parent transitions) + edges +
+                metrics, one atomic snapshot                 [store.py]
+
+Everything between `eligible` and `commit` is one Catalyst plan per output:
+JVM-side expressions throughout (regexp_extract_all / xxhash64 / split /
+filter — zero Python in the hot path), shuffles only at the anti-join, the
+winner window, and the parent-status aggregation.
+
+Semantics match the sequential oracle (`web_crawler_spark.oracle`) exactly
+— same simulators, same tie-break order (parent canonical key, then
+in-page position), same parent status rule:
+
+    FAILED  iff fetch ok AND some candidate was dropped by DNS/robots
+            AND this parent won no admitted child        (job.rs:340-343)
+    COMPLETED otherwise on fetch ok                      (job.rs:289-293)
+
+(the "won no admitted child" clause is the wave-parallel restatement of
+"all *remaining* children dropped" under sequential first-writer-wins —
+children already merged by an earlier same-wave parent leave the later
+parent's candidate set, see oracle.py module docstring).
+
+Scale design (10^10-URL frontier, 1000 executors):
+
+* frontier/edges grow append-only; per-wave I/O ∝ wave size (store.py).
+* the documents join and the seen-set anti-join both key on
+  ``xxhash64(full_key)`` — bucket both tables by it in production so the
+  joins are co-partitioned (no shuffle of the 100 TB side).
+* the politeness top-B per host is computed with a two-stage window
+  (salted local top-B, then exact top-B over survivors): a hot host with
+  10^8 pending URLs never lands in a single window partition (axis B).
+* per-wave metrics carry spark_partition_id lineage (north rule).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import CrawlConfig
+from .functions.urls import URL_REGEX_JAVA, normalize_cols, normalize_url_py
+from .sources.simulators import dns_cols, dns_py, fetch_outcome_cols, fetch_outcome_py
+from .store import METRICS_SCHEMA, SnapshotStore
+
+PENDING, COMPLETED, FAILED, CANCELLED = "PENDING", "COMPLETED", "FAILED", "CANCELLED"
+
+# posexplode link index < 100000 per span by construction (pages are bounded)
+_POS_STRIDE = 100_000
+
+
+def _host_col(name: F.Column) -> F.Column:
+    """Politeness/robots host: registrable base = last two labels, port
+    stripped (must match ``oracle._host_of`` exactly)."""
+    bare = F.split(name, ":").getItem(0)
+    return F.array_join(F.slice(F.split(bare, r"\."), -2, 2), ".")
+
+
+@dataclass
+class WaveResult:
+    wave: int
+    fetched: int
+    ok: int
+    failed: int
+    timeouts: int
+    candidates: int
+    dedup_dropped: int
+    dns_dropped: int
+    children: int
+    pending_after: int
+    elapsed_ms: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        documents: DataFrame,
+        cfg: CrawlConfig | None = None,
+        robots: DataFrame | None = None,
+    ) -> None:
+        self.spark = spark
+        self.store = store
+        self.cfg = cfg or CrawlConfig()
+        # only (doc_id, spans) ever needed — prune before caching
+        self.documents = documents.select("doc_id", "spans")
+        self.robots = robots  # columns: host, disallowed
+
+    # ------------------------------------------------------------------
+    # crawl lifecycle (reference: POST /api/v1/crawls, routes/crawl.rs:31-139)
+    # ------------------------------------------------------------------
+    def start_crawl(
+        self, seed_url: str, requested_depth: int, crawl_id: str | None = None
+    ) -> str:
+        if not 1 <= requested_depth <= self.cfg.max_crawl_depth:
+            raise ValueError(
+                f"depth must be 1..{self.cfg.max_crawl_depth} (crawl.rs:36-42)"
+            )
+        crawl_id = crawl_id or str(uuid.uuid4())
+        name, proto = normalize_url_py(seed_url)
+        seed_key = proto + name
+
+        # root admission runs driver-side with the same pure simulators the
+        # executors use (manager fetches the root once, no retry; DNS or
+        # fetch failure fails crawl creation — crawl.rs:45-83)
+        dns_ok, domain, ip = dns_py(name, self.cfg)
+        has_doc = self._doc_exists(seed_key)
+        fetch_ok, sim_status, _ = fetch_outcome_py(seed_key, has_doc, 0, self.cfg)
+        meta = {
+            "crawl_id": crawl_id,
+            "seed_url": seed_url,
+            "seed_key": seed_key,
+            "name": name,
+            "http_type": proto,
+            "domain": domain,
+            "ip": ip,
+            "requested_depth": requested_depth,
+            "created_at": time.time(),
+            "status": "running",
+        }
+        if not dns_ok or not fetch_ok:
+            meta["status"] = "failed"
+            meta["fail_reason"] = f"root fetch/dns failed (status={sim_status})"
+            self.store.write_crawl_meta(meta)
+            return crawl_id
+        self.store.write_crawl_meta(meta)
+
+        # wave 0: seed expansion (manager path — no retries, no parent
+        # status bookkeeping, empty seen set, no dedup beyond MERGE collapse)
+        seed_df = self.spark.createDataFrame(
+            [(crawl_id, seed_key, name, proto, 0, requested_depth, 0)],
+            "crawl_id string, full_key string, name string, http_type string, "
+            "depth int, requested_depth int, attempts int",
+        )
+        self._run_wave(crawl_id, 0, seed_df, seen=None, is_root=True)
+        return crawl_id
+
+    def cancel_crawl(self, crawl_id: str) -> None:
+        """U3: flag the crawl; the wave loop turns PENDING into CANCELLED
+        before the next wave (crawl_service.rs:219-235)."""
+        meta = self.store.read_crawl_meta(crawl_id)
+        if meta["status"] == "running":
+            meta["status"] = "cancelling"
+            self.store.write_crawl_meta(meta)
+
+    def run_crawl(self, crawl_id: str, max_waves: int | None = None) -> dict:
+        """Run (or resume) the wave loop until no PENDING URLs remain.
+
+        Resumable: starts after the last committed snapshot; partial wave
+        directories from a crash are dropped and the wave re-runs
+        deterministically (ST2/ST3 analogue, strictly stronger).
+        """
+        meta = self.store.read_crawl_meta(crawl_id)
+        if meta["status"] in ("failed", "cancelled", "completed"):
+            return meta
+        self.store.clean_uncommitted(crawl_id)
+        committed = self.store.committed_waves(crawl_id)
+        wave = (committed[-1] + 1) if committed else 1
+
+        waves_done = 0
+        while True:
+            meta = self.store.read_crawl_meta(crawl_id)
+            if meta["status"] == "cancelling":
+                self._cancel_wave(crawl_id, wave)
+                meta["status"] = "cancelled"
+                self.store.write_crawl_meta(meta)
+                return meta
+            if max_waves is not None and waves_done >= max_waves:
+                return meta
+
+            frontier = self.store.frontier(self.spark, crawl_id)
+            eligible, n_pending = self._eligible(frontier)
+            if n_pending == 0:
+                meta["status"] = "completed"
+                self.store.write_crawl_meta(meta)
+                return meta
+            if eligible.isEmpty():  # politeness deferred everything (can't
+                # happen with budget>=1, defensive)
+                meta["status"] = "completed"
+                self.store.write_crawl_meta(meta)
+                return meta
+            self._run_wave(crawl_id, wave, eligible, seen=frontier, is_root=False)
+            wave += 1
+            waves_done += 1
+
+    # ------------------------------------------------------------------
+    # wave internals
+    # ------------------------------------------------------------------
+    def _doc_exists(self, full_key: str) -> bool:
+        return not self.documents.filter(F.col("doc_id") == full_key).isEmpty()
+
+    def _eligible(self, frontier: DataFrame) -> tuple[DataFrame, int]:
+        """PENDING rows, capped per host by the politeness budget (W1).
+
+        Exact top-B per host in sorted full-key order, computed skew-safely
+        in two stages: (1) top-B within (host, salt) buckets — bounds any
+        single window partition; (2) exact top-B over the ≤ S*B survivors.
+        """
+        pending = frontier.filter(F.col("status") == PENDING)
+        n_pending = pending.count()
+        budget = self.cfg.host_budget_per_wave
+        if budget is None or n_pending == 0:
+            return pending, n_pending
+        host = _host_col(F.col("name"))
+        salt = F.pmod(F.col("url_hash"), F.lit(self.cfg.politeness_salt))
+        w1 = Window.partitionBy("crawl_id", "host", "salt").orderBy("full_key")
+        w2 = Window.partitionBy("crawl_id", "host").orderBy("full_key")
+        eligible = (
+            pending.withColumn("host", host)
+            .withColumn("salt", salt)
+            .withColumn("_lrn", F.row_number().over(w1))
+            .filter(F.col("_lrn") <= budget)
+            .withColumn("_grn", F.row_number().over(w2))
+            .filter(F.col("_grn") <= budget)
+            .drop("host", "salt", "_lrn", "_grn")
+        )
+        return eligible, n_pending
+
+    def _run_wave(
+        self,
+        crawl_id: str,
+        wave: int,
+        parents: DataFrame,
+        seen: DataFrame | None,
+        is_root: bool,
+    ) -> WaveResult:
+        t0 = time.time()
+        cfg = self.cfg
+
+        # ---- fetch simulation (S1): join against the corpus ----
+        docs = self.documents
+        fetched = parents.select(
+            "crawl_id", "full_key", "name", "depth", "requested_depth", "attempts"
+        ).join(docs, parents["full_key"] == docs["doc_id"], "left")
+        fo = fetch_outcome_cols(
+            F.col("full_key"), F.col("doc_id").isNotNull(), F.col("attempts"), cfg
+        )
+        outcomes = (
+            fetched.withColumn("fetch_ok", fo["fetch_ok"])
+            .withColumn("sim_status", fo["sim_status"])
+            .withColumn("latency_ms", fo["latency_ms"])
+        ).persist()
+
+        # ---- link extraction (P1) over text spans in offset order ----
+        ok_pages = outcomes.filter(F.col("fetch_ok")).select(
+            "crawl_id",
+            F.col("full_key").alias("parent_key"),
+            F.col("depth").alias("parent_depth"),
+            "requested_depth",
+            "latency_ms",
+            F.posexplode("spans").alias("span_idx", "span"),
+        )
+        links = (
+            ok_pages.filter(F.col("span.kind") == "text")
+            .select(
+                "crawl_id",
+                "parent_key",
+                "parent_depth",
+                "requested_depth",
+                "latency_ms",
+                "span_idx",
+                F.posexplode(
+                    F.regexp_extract_all(F.col("span.text"), F.lit(URL_REGEX_JAVA), F.lit(0))
+                ).alias("link_idx", "raw"),
+            )
+            .withColumn("pos", F.col("span_idx") * _POS_STRIDE + F.col("link_idx"))
+        )
+
+        # ---- canonicalize (P2/P4) + per-parent local distinct (P3/A5) ----
+        c_name, c_http = normalize_cols(F.col("raw"))
+        canon = links.withColumn("child_name", c_name).withColumn(
+            "child_http", c_http
+        ).withColumn(
+            "child_full", F.concat(F.col("child_http"), F.col("child_name"))
+        ).withColumn("child_hash", F.xxhash64("child_full"))
+        local = canon.groupBy(
+            "crawl_id",
+            "parent_key",
+            "parent_depth",
+            "requested_depth",
+            "latency_ms",
+            "child_full",
+            "child_name",
+            "child_http",
+            "child_hash",
+        ).agg(F.min("pos").alias("pos"), F.count("*").alias("n_raw"))
+
+        # ---- seen-set anti-join (J1, exact stage) ----
+        if seen is not None:
+            seen_keys = seen.select(
+                "crawl_id",
+                F.col("url_hash").alias("child_hash"),
+                F.col("full_key").alias("child_full"),
+            )
+            fresh = local.join(
+                seen_keys, ["crawl_id", "child_hash", "child_full"], "left_anti"
+            )
+        else:
+            fresh = local
+
+        # ---- DNS + robots admission (S2/D6) ----
+        dns = dns_cols(F.col("child_name"), cfg)
+        cand = (
+            fresh.withColumn("dns_ok", dns["dns_ok"])
+            .withColumn("child_domain", dns["domain"])
+            .withColumn("child_ip", dns["ip"])
+        )
+        if cfg.respect_robots and self.robots is not None:
+            rb = self.robots.select(
+                F.col("host").alias("_r_host"), F.col("disallowed").alias("_r_disallowed")
+            )
+            cand = cand.join(
+                rb, _host_col(F.col("child_name")) == F.col("_r_host"), "left"
+            )
+            admitted = F.col("dns_ok") & ~F.coalesce(F.col("_r_disallowed"), F.lit(False))
+        else:
+            admitted = F.col("dns_ok")
+        cand = cand.withColumn("admitted", admitted)
+
+        # ---- deterministic first-discoverer tie-break (J3/ST6, §3.4) ----
+        w = Window.partitionBy("crawl_id", "child_full").orderBy("parent_key", "pos")
+        cand = cand.withColumn("rn", F.row_number().over(w)).persist()
+
+        winners = cand.filter(F.col("admitted") & (F.col("rn") == 1))
+        child_depth = F.col("parent_depth") + F.lit(1)
+        children = winners.select(
+            "crawl_id",
+            F.col("child_hash").alias("url_hash"),
+            F.col("child_full").alias("full_key"),
+            F.col("child_name").alias("name"),
+            F.col("child_http").alias("http_type"),
+            F.col("child_domain").alias("domain"),
+            F.col("child_ip").alias("ip"),
+            child_depth.cast("int").alias("depth"),
+            F.col("requested_depth"),
+            F.when(child_depth >= F.col("requested_depth"), F.lit(COMPLETED))
+            .otherwise(F.lit(PENDING))
+            .alias("status"),  # leaf rule F10 (job.rs:182)
+            F.lit(0).alias("attempts"),
+            F.lit(wave).alias("wave"),
+            F.concat(F.col("latency_ms").cast("string"), F.lit("ms")).alias(
+                "request_time"
+            ),
+        )
+        edges = winners.select(
+            "crawl_id",
+            F.col("parent_key").alias("src"),
+            F.col("child_full").alias("dst"),
+            F.lit(wave).alias("wave"),
+        )
+
+        # ---- parent status transitions (ST4/P6/U2) ----
+        if not is_root:
+            pstats = cand.groupBy("crawl_id", "parent_key").agg(
+                F.count("*").alias("n_cand"),
+                F.sum(F.when(~F.col("admitted"), 1).otherwise(0)).alias("n_bad"),
+                F.sum(
+                    F.when(F.col("admitted") & (F.col("rn") == 1), 1).otherwise(0)
+                ).alias("n_wins"),
+            )
+            new_attempts = F.when(
+                ~F.col("fetch_ok") & (F.col("sim_status") == 0),
+                F.col("attempts") + 1,
+            ).otherwise(F.col("attempts"))
+            status_expr = (
+                F.when(F.col("sim_status") == 404, F.lit(FAILED))  # 4xx permanent
+                .when(
+                    ~F.col("fetch_ok"),
+                    F.when(
+                        new_attempts >= F.lit(cfg.max_attempts), F.lit(FAILED)
+                    ).otherwise(F.lit(PENDING)),  # retry next wave
+                )
+                .when(F.col("n_wins") > 0, F.lit(COMPLETED))
+                .when(F.col("n_bad") > 0, F.lit(FAILED))  # all-dropped rule
+                .otherwise(F.lit(COMPLETED))  # no candidates / all taken earlier
+            )
+            updates = (
+                outcomes.select(
+                    "crawl_id",
+                    F.col("full_key").alias("parent_key"),
+                    "fetch_ok",
+                    "sim_status",
+                    "attempts",
+                )
+                .join(pstats, ["crawl_id", "parent_key"], "left")
+                .select(
+                    "crawl_id",
+                    F.xxhash64("parent_key").alias("url_hash"),
+                    F.col("parent_key").alias("full_key"),
+                    status_expr.alias("status"),
+                    new_attempts.cast("int").alias("attempts"),
+                    F.lit(wave).alias("wave"),
+                )
+            )
+        else:
+            updates = None
+
+        # ---- commit the snapshot (S3): deltas then marker ----
+        self.store.write_delta(children, crawl_id, wave, "inserts")
+        self.store.write_delta(edges, crawl_id, wave, "edges")
+        if updates is not None:
+            self.store.write_delta(updates, crawl_id, wave, "updates")
+
+        # ---- metrics w/ per-partition lineage (north rule; A-series) ----
+        fetch_agg = outcomes.agg(
+            F.count("*").alias("fetched"),
+            F.sum(F.when(F.col("fetch_ok"), 1).otherwise(0)).alias("ok"),
+            F.sum(
+                F.when(~F.col("fetch_ok") & (F.col("sim_status") == 0), 1).otherwise(0)
+            ).alias("timeouts"),
+        ).collect()[0]
+        cand_agg = cand.agg(
+            F.count("*").alias("candidates"),
+            F.coalesce(F.sum("n_raw"), F.lit(0)).alias("n_raw"),
+            F.sum(F.when(~F.col("admitted"), 1).otherwise(0)).alias("dns_dropped"),
+            F.sum(
+                F.when(F.col("admitted") & (F.col("rn") == 1), 1).otherwise(0)
+            ).alias("children"),
+        ).collect()[0]
+        # dedup_dropped = raw link occurrences that didn't survive local
+        # distinct + seen anti-join (oracle counts the same quantity)
+        raw_total_row = local.agg(F.coalesce(F.sum("n_raw"), F.lit(0))).collect()[0]
+        raw_total = raw_total_row[0]
+        n_failed = 0
+        if updates is not None:
+            n_failed = updates.filter(F.col("status") == FAILED).count()
+        part_rows = (
+            cand.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("candidates"),
+                F.sum(F.when(~F.col("admitted"), 1).otherwise(0)).alias("dns_dropped"),
+                F.sum(
+                    F.when(F.col("admitted") & (F.col("rn") == 1), 1).otherwise(0)
+                ).alias("children"),
+            )
+            .collect()
+        )
+        elapsed_ms = int((time.time() - t0) * 1000)
+        metrics_rows = [
+            (
+                crawl_id, wave, -1,
+                int(fetch_agg["fetched"]), int(fetch_agg["ok"]), int(n_failed),
+                int(fetch_agg["timeouts"]), int(cand_agg["candidates"]),
+                int(raw_total - cand_agg["candidates"]),
+                int(cand_agg["dns_dropped"] or 0), int(cand_agg["children"] or 0),
+                elapsed_ms,
+            )
+        ] + [
+            (
+                crawl_id, wave, int(r["partition_id"]), 0, 0, 0, 0,
+                int(r["candidates"]), 0, int(r["dns_dropped"] or 0),
+                int(r["children"] or 0), 0,
+            )
+            for r in part_rows
+        ]
+        metrics_df = self.spark.createDataFrame(metrics_rows, METRICS_SCHEMA)
+        self.store.write_delta(metrics_df, crawl_id, wave, "metrics")
+
+        result = WaveResult(
+            wave=wave,
+            fetched=int(fetch_agg["fetched"]),
+            ok=int(fetch_agg["ok"]),
+            failed=int(n_failed),
+            timeouts=int(fetch_agg["timeouts"]),
+            candidates=int(cand_agg["candidates"]),
+            dedup_dropped=int(raw_total - cand_agg["candidates"]),
+            dns_dropped=int(cand_agg["dns_dropped"] or 0),
+            children=int(cand_agg["children"] or 0),
+            pending_after=-1,
+            elapsed_ms=elapsed_ms,
+        )
+        self.store.commit_wave(
+            crawl_id, wave, {k: v for k, v in result.__dict__.items()}
+        )
+        outcomes.unpersist()
+        cand.unpersist()
+        return result
+
+    def _cancel_wave(self, crawl_id: str, wave: int) -> None:
+        """Turn every PENDING row into CANCELLED in one updates-only
+        snapshot (crawl_service.rs:219-235)."""
+        frontier = self.store.frontier(self.spark, crawl_id)
+        updates = frontier.filter(F.col("status") == PENDING).select(
+            "crawl_id",
+            "url_hash",
+            "full_key",
+            F.lit(CANCELLED).alias("status"),
+            "attempts",
+            F.lit(wave).alias("wave"),
+        )
+        self.store.write_delta(updates, crawl_id, wave, "updates")
+        self.store.commit_wave(crawl_id, wave, {"cancelled_wave": True})

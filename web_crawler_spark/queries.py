@@ -1,0 +1,158 @@
+"""Read/analytics APIs over the crawl tables — the reference manager's GET
+endpoints re-expressed as single declarative DataFrame queries.
+
+Reference endpoints (manager/src/routes/status.rs, graph.rs) and their
+operators (SURVEY.md §2.4-2.5):
+
+* ``crawl_progress``  — GET /crawls/:id      (J4 + A1 + A4)
+* ``list_crawls``     — GET /crawls          (A1 + P9 + W2 pagination + A6)
+* ``crawl_stats``     — GET /crawls/:id/stats (A1 + A2 countDistinct + A3 max)
+* ``graph_data``      — GET /crawls/:id/graph (W3 + projections + J5)
+
+All are plain hash aggregations / windows over the frontier — Catalyst
+does partial+final aggregation automatically; at scale the groupBy keys
+are the partition key (crawl_id), so aggregation is partition-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .store import SnapshotStore
+
+_STATUSES = ["PENDING", "IN-PROGRESS", "COMPLETED", "FAILED", "CANCELLED"]
+
+
+def _status_count_cols() -> list[F.Column]:
+    """A1: conditional-count aggregation, one sum(CASE WHEN) per status
+    (crawl_service.rs:78-86)."""
+    return [
+        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(
+            s.lower().replace("-", "_")
+        )
+        for s in _STATUSES
+    ]
+
+
+def _derived_status_col() -> F.Column:
+    """A4: derived crawl status scalar rule (crawl_service.rs:106-114)."""
+    no_active = (F.col("pending") == 0) & (F.col("in_progress") == 0)
+    return F.when(
+        no_active,
+        F.when(
+            (F.col("cancelled") > 0) & (F.col("completed") == 0), F.lit("cancelled")
+        ).otherwise(F.lit("completed")),
+    ).otherwise(F.lit("running"))
+
+
+def progress_agg(frontier: DataFrame) -> DataFrame:
+    """Per-crawl status counts + derived status (the J4 aggregation side)."""
+    return (
+        frontier.groupBy("crawl_id")
+        .agg(F.count("*").alias("total_urls"), *_status_count_cols())
+        .withColumn("derived_status", _derived_status_col())
+    )
+
+
+def crawl_progress(spark: SparkSession, store: SnapshotStore, crawl_id: str) -> dict:
+    """GET /crawls/:id — counts + derived status for one crawl."""
+    meta = store.read_crawl_meta(crawl_id)
+    rows = progress_agg(store.frontier(spark, crawl_id)).collect()
+    if not rows:  # crawl with no URL nodes yet (J4 left outer semantics)
+        return {
+            "crawl_id": crawl_id,
+            "requested_depth": meta["requested_depth"],
+            "total_urls": 0,
+            **{s.lower().replace("-", "_"): 0 for s in _STATUSES},
+            "derived_status": "completed" if meta["status"] != "running" else "running",
+        }
+    r = rows[0].asDict()
+    r["requested_depth"] = meta["requested_depth"]
+    return r
+
+
+def list_crawls(
+    spark: SparkSession,
+    store: SnapshotStore,
+    status: str | None = None,
+    offset: int = 0,
+    limit: int = 100,
+) -> tuple[list[dict], int]:
+    """GET /crawls — aggregated list, status filter (P9), deterministic
+    pagination (W2: the reference slices insertion order with no ORDER BY;
+    we order by created_at,crawl_id for determinism).  Returns (items,
+    total_count) like the reference's total_count field (A6)."""
+    limit = min(limit, 100)  # routes/status.rs:28 cap
+    metas = {cid: store.read_crawl_meta(cid) for cid in store.list_crawls()}
+    agg = progress_agg(store.frontier_all(spark))
+    meta_df = spark.createDataFrame(
+        [
+            (m["crawl_id"], m["seed_url"], m["requested_depth"], float(m["created_at"]))
+            for m in metas.values()
+        ],
+        "crawl_id string, seed_url string, requested_depth int, created_at double",
+    )
+    joined = meta_df.join(agg, "crawl_id", "left").na.fill(
+        0, ["total_urls"] + [s.lower().replace("-", "_") for s in _STATUSES]
+    )
+    joined = joined.withColumn(
+        "derived_status", F.coalesce(F.col("derived_status"), F.lit("completed"))
+    )
+    if status is not None:
+        joined = joined.filter(F.col("derived_status") == status)
+    w = Window.orderBy("created_at", "crawl_id")
+    page = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn("total_count", F.count("*").over(Window.partitionBy()))
+        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+        .drop("_rn")
+    )
+    rows = [r.asDict() for r in page.collect()]
+    total = rows[0]["total_count"] if rows else 0
+    return rows, total
+
+
+def crawl_stats(spark: SparkSession, store: SnapshotStore, crawl_id: str) -> dict:
+    """GET /crawls/:id/stats — A1 + countDistinct(domain) (A2, exact like
+    the reference) + max(depth) (A3) (crawl_service.rs:238-286)."""
+    rows = (
+        store.frontier(spark, crawl_id)
+        .groupBy("crawl_id")
+        .agg(
+            F.count("*").alias("total_urls"),
+            *_status_count_cols(),
+            F.countDistinct("domain").alias("distinct_domains"),
+            F.max("depth").alias("max_depth"),
+        )
+        .collect()
+    )
+    if not rows:
+        return {"crawl_id": crawl_id, "total_urls": 0, "distinct_domains": 0,
+                "max_depth": 0}
+    return rows[0].asDict()
+
+
+def graph_data(spark: SparkSession, store: SnapshotStore, crawl_id: str) -> dict:
+    """GET /crawls/:id/graph — ROOT + URL node projections and the edge
+    list (graph_service.rs:8-110).  Node ids are the full http_type+name
+    keys, as the reference concatenates (graph_service.rs:31,61,91-92)."""
+    meta = store.read_crawl_meta(crawl_id)  # W3 existence check analogue
+    nodes = [
+        {
+            "id": meta["seed_key"],
+            "label": "ROOT",
+            "depth": 0,
+            "status": meta["status"],
+        }
+    ] + [
+        {"id": r.full_key, "label": "URL", "depth": r.depth, "status": r.status}
+        for r in store.frontier(spark, crawl_id)
+        .select("full_key", "depth", "status")
+        .collect()
+    ]
+    edges = [
+        {"source": r.src, "target": r.dst}
+        for r in store.edges(spark, crawl_id).select("src", "dst").collect()
+    ]
+    return {"crawl_id": crawl_id, "nodes": nodes, "edges": edges}
