@@ -1,0 +1,80 @@
+"""Bloom seen-set prefilter (J1 stage 1): no false negatives, sane FPP,
+and end-state equivalence of the bloom vs plain-join dedup paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.helpers import engine_state, good_seeds
+from web_crawler_spark.config import CrawlConfig
+from web_crawler_spark.corpus import CorpusParams, build_corpus_py, documents_df_from_py
+from web_crawler_spark.engine import CrawlEngine
+from web_crawler_spark.functions.xxh64 import xxhash64_str
+from web_crawler_spark.operators.dedup import bloom_maybe_seen, build_bloom_bitmaps
+from web_crawler_spark.store import SnapshotStore
+
+CFG = CrawlConfig()
+
+
+def test_no_false_negatives_and_low_fpp(spark):
+    members = [xxhash64_str(f"member-{i}") for i in range(5000)]
+    others = [xxhash64_str(f"other-{i}") for i in range(5000)]
+    seen = spark.createDataFrame([(h,) for h in members], "url_hash long")
+    bitmaps = build_bloom_bitmaps(seen, CFG)
+    bcast = spark.sparkContext.broadcast(bitmaps)
+
+    cand = spark.createDataFrame(
+        [(h, "m") for h in members] + [(h, "o") for h in others],
+        "child_hash long, kind string",
+    )
+    flagged = {
+        (r.child_hash, r.kind): r.maybe_seen
+        for r in bloom_maybe_seen(cand, bcast, CFG).collect()
+    }
+    # bloom property 1: every member is maybe_seen (no false negatives)
+    assert all(flagged[(h, "m")] for h in members)
+    # bloom property 2: false-positive rate is tiny at this load factor
+    fp = sum(1 for h in others if flagged[(h, "o")])
+    assert fp / len(others) < 0.01, f"FPP too high: {fp / len(others)}"
+
+
+def test_empty_seen_set(spark):
+    seen = spark.createDataFrame([], "url_hash long")
+    bitmaps = build_bloom_bitmaps(seen, CFG)
+    assert bitmaps == {}
+    bcast = spark.sparkContext.broadcast(bitmaps)
+    cand = spark.createDataFrame([(123,), (456,)], "child_hash long")
+    rows = bloom_maybe_seen(cand, bcast, CFG).collect()
+    assert not any(r.maybe_seen for r in rows)
+
+
+def test_probe_positions_distinct():
+    """Double-hashing probes must not collapse onto one position."""
+    from web_crawler_spark.operators.dedup import _probe_positions
+
+    h = np.array([xxhash64_str(f"x{i}") for i in range(1000)], dtype=np.int64)
+    p = _probe_positions(h, 2, 1 << 20)
+    assert (p[0] != p[1]).mean() > 0.99
+
+
+@pytest.mark.parametrize("depth", [2])
+def test_bloom_path_equals_plain_join_path(spark, tmp_path, depth):
+    """use_bloom_prefilter on/off produce bit-identical crawl state (the
+    bloom is a pure physical optimization; exact join absorbs FPs)."""
+    params = CorpusParams(n_docs=80)
+    corpus = build_corpus_py(params)
+    docs = documents_df_from_py(spark, corpus).cache()
+    seed = good_seeds(corpus, CFG)[0]
+    states = {}
+    for label, cfg in {
+        "bloom": CrawlConfig(use_bloom_prefilter=True),
+        "plain": CrawlConfig(use_bloom_prefilter=False),
+    }.items():
+        store = SnapshotStore(tmp_path / label)
+        eng = CrawlEngine(spark, store, docs, cfg)
+        cid = eng.start_crawl(seed, depth, crawl_id="c")
+        eng.run_crawl(cid)
+        states[label] = engine_state(spark, store, cid)
+    docs.unpersist()
+    assert states["bloom"] == states["plain"]

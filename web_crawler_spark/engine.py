@@ -51,7 +51,7 @@ import time
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .config import CrawlConfig
@@ -185,18 +185,19 @@ class CrawlEngine:
             if max_waves is not None and waves_done >= max_waves:
                 return meta
 
-            frontier = self.store.frontier(self.spark, crawl_id)
-            eligible, n_pending = self._eligible(frontier)
-            if n_pending == 0:
-                meta["status"] = "completed"
-                self.store.write_crawl_meta(meta)
-                return meta
-            if eligible.isEmpty():  # politeness deferred everything (can't
-                # happen with budget>=1, defensive)
-                meta["status"] = "completed"
-                self.store.write_crawl_meta(meta)
-                return meta
-            self._run_wave(crawl_id, wave, eligible, seen=frontier, is_root=False)
+            # one frontier materialization per wave: every downstream use
+            # (pending count, politeness window, seen anti-join) hits the
+            # cache instead of re-reading + re-merging the delta files
+            frontier = self.store.frontier(self.spark, crawl_id).persist()
+            try:
+                eligible, n_pending = self._eligible(frontier)
+                if n_pending == 0:
+                    meta["status"] = "completed"
+                    self.store.write_crawl_meta(meta)
+                    return meta
+                self._run_wave(crawl_id, wave, eligible, seen=frontier, is_root=False)
+            finally:
+                frontier.unpersist()
             wave += 1
             waves_done += 1
 
@@ -302,18 +303,50 @@ class CrawlEngine:
             "child_hash",
         ).agg(F.min("pos").alias("pos"), F.count("*").alias("n_raw"))
 
-        # ---- seen-set anti-join (J1, exact stage) ----
+        # ---- seen-set dedup (J1): bloom stage 1 + exact stage 2 ----
+        # expressed as a left join + is_fresh flag (not left_anti) so the
+        # dropped-as-seen rows stay in ONE cached DataFrame and every wave
+        # metric (raw totals, dedup drops, admissions, winners) comes from
+        # a single pass — no extra jobs re-deriving the lineage.  All rows
+        # of a given child share is_fresh, so downstream windows per child
+        # are never mixed.
+        to_unpersist: list[DataFrame] = []
         if seen is not None:
             seen_keys = seen.select(
                 "crawl_id",
                 F.col("url_hash").alias("child_hash"),
                 F.col("full_key").alias("child_full"),
+                F.lit(True).alias("_seen"),
             )
-            fresh = local.join(
-                seen_keys, ["crawl_id", "child_hash", "child_full"], "left_anti"
-            )
+            if cfg.use_bloom_prefilter:
+                # stage 1: partition-local bloom verdict (no false
+                # negatives) — certainly-fresh candidates skip the exact
+                # join shuffle entirely (operators/dedup.py)
+                from .operators.dedup import bloom_maybe_seen, build_bloom_bitmaps
+
+                bitmaps = build_bloom_bitmaps(seen, cfg)
+                bcast = self.spark.sparkContext.broadcast(bitmaps)
+                flagged = bloom_maybe_seen(local, bcast, cfg).persist()
+                to_unpersist.append(flagged)
+                certain = (
+                    flagged.filter(~F.col("maybe_seen"))
+                    .drop("maybe_seen")
+                    .withColumn("is_fresh", F.lit(True))
+                )
+                maybe = (
+                    flagged.filter(F.col("maybe_seen"))
+                    .drop("maybe_seen")
+                    .join(seen_keys, ["crawl_id", "child_hash", "child_full"], "left")
+                    .withColumn("is_fresh", F.col("_seen").isNull())
+                    .drop("_seen")
+                )
+                fresh = certain.unionByName(maybe)
+            else:
+                fresh = local.join(
+                    seen_keys, ["crawl_id", "child_hash", "child_full"], "left"
+                ).withColumn("is_fresh", F.col("_seen").isNull()).drop("_seen")
         else:
-            fresh = local
+            fresh = local.withColumn("is_fresh", F.lit(True))
 
         # ---- DNS + robots admission (S2/D6) ----
         dns = dns_cols(F.col("child_name"), cfg)
@@ -338,7 +371,9 @@ class CrawlEngine:
         w = Window.partitionBy("crawl_id", "child_full").orderBy("parent_key", "pos")
         cand = cand.withColumn("rn", F.row_number().over(w)).persist()
 
-        winners = cand.filter(F.col("admitted") & (F.col("rn") == 1))
+        winners = cand.filter(
+            F.col("is_fresh") & F.col("admitted") & (F.col("rn") == 1)
+        )
         child_depth = F.col("parent_depth") + F.lit(1)
         children = winners.select(
             "crawl_id",
@@ -368,11 +403,12 @@ class CrawlEngine:
 
         # ---- parent status transitions (ST4/P6/U2) ----
         if not is_root:
+            f = F.col("is_fresh")
             pstats = cand.groupBy("crawl_id", "parent_key").agg(
-                F.count("*").alias("n_cand"),
-                F.sum(F.when(~F.col("admitted"), 1).otherwise(0)).alias("n_bad"),
+                F.sum(F.when(f, 1).otherwise(0)).alias("n_cand"),
+                F.sum(F.when(f & ~F.col("admitted"), 1).otherwise(0)).alias("n_bad"),
                 F.sum(
-                    F.when(F.col("admitted") & (F.col("rn") == 1), 1).otherwise(0)
+                    F.when(f & F.col("admitted") & (F.col("rn") == 1), 1).otherwise(0)
                 ).alias("n_wins"),
             )
             new_attempts = F.when(
@@ -391,7 +427,10 @@ class CrawlEngine:
                 .when(F.col("n_bad") > 0, F.lit(FAILED))  # all-dropped rule
                 .otherwise(F.lit(COMPLETED))  # no candidates / all taken earlier
             )
-            updates = (
+            # fetch/status totals piggyback on the updates write action via
+            # an Observation — zero extra Spark jobs for these metrics
+            upd_obs = Observation()
+            upd_base = (
                 outcomes.select(
                     "crawl_id",
                     F.col("full_key").alias("parent_key"),
@@ -400,17 +439,30 @@ class CrawlEngine:
                     "attempts",
                 )
                 .join(pstats, ["crawl_id", "parent_key"], "left")
-                .select(
-                    "crawl_id",
-                    F.xxhash64("parent_key").alias("url_hash"),
-                    F.col("parent_key").alias("full_key"),
-                    status_expr.alias("status"),
-                    new_attempts.cast("int").alias("attempts"),
-                    F.lit(wave).alias("wave"),
+                .observe(
+                    upd_obs,
+                    F.count(F.lit(1)).alias("fetched"),
+                    F.sum(F.when(F.col("fetch_ok"), 1).otherwise(0)).alias("ok"),
+                    F.sum(
+                        F.when(
+                            ~F.col("fetch_ok") & (F.col("sim_status") == 0), 1
+                        ).otherwise(0)
+                    ).alias("timeouts"),
+                    F.sum(F.when(status_expr == FAILED, 1).otherwise(0)).alias(
+                        "failed"
+                    ),
                 )
             )
+            updates = upd_base.select(
+                "crawl_id",
+                F.xxhash64("parent_key").alias("url_hash"),
+                F.col("parent_key").alias("full_key"),
+                status_expr.alias("status"),
+                new_attempts.cast("int").alias("attempts"),
+                F.lit(wave).alias("wave"),
+            )
         else:
-            updates = None
+            updates, upd_obs = None, None
 
         # ---- commit the snapshot (S3): deltas then marker ----
         self.store.write_delta(children, crawl_id, wave, "inserts")
@@ -419,54 +471,46 @@ class CrawlEngine:
             self.store.write_delta(updates, crawl_id, wave, "updates")
 
         # ---- metrics w/ per-partition lineage (north rule; A-series) ----
-        fetch_agg = outcomes.agg(
-            F.count("*").alias("fetched"),
-            F.sum(F.when(F.col("fetch_ok"), 1).otherwise(0)).alias("ok"),
-            F.sum(
-                F.when(~F.col("fetch_ok") & (F.col("sim_status") == 0), 1).otherwise(0)
-            ).alias("timeouts"),
-        ).collect()[0]
-        cand_agg = cand.agg(
-            F.count("*").alias("candidates"),
-            F.coalesce(F.sum("n_raw"), F.lit(0)).alias("n_raw"),
-            F.sum(F.when(~F.col("admitted"), 1).otherwise(0)).alias("dns_dropped"),
-            F.sum(
-                F.when(F.col("admitted") & (F.col("rn") == 1), 1).otherwise(0)
-            ).alias("children"),
-        ).collect()[0]
-        # dedup_dropped = raw link occurrences that didn't survive local
-        # distinct + seen anti-join (oracle counts the same quantity)
-        raw_total_row = local.agg(F.coalesce(F.sum("n_raw"), F.lit(0))).collect()[0]
-        raw_total = raw_total_row[0]
-        n_failed = 0
-        if updates is not None:
-            n_failed = updates.filter(F.col("status") == FAILED).count()
+        # one pass over the cached candidate set yields the per-partition
+        # lineage rows AND (summed driver-side) the wave totals
+        f = F.col("is_fresh")
         part_rows = (
             cand.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
-                F.count("*").alias("candidates"),
-                F.sum(F.when(~F.col("admitted"), 1).otherwise(0)).alias("dns_dropped"),
+                F.coalesce(F.sum("n_raw"), F.lit(0)).alias("n_raw"),
+                F.sum(F.when(f, 1).otherwise(0)).alias("candidates"),
+                F.sum(F.when(f & ~F.col("admitted"), 1).otherwise(0)).alias(
+                    "dns_dropped"
+                ),
                 F.sum(
-                    F.when(F.col("admitted") & (F.col("rn") == 1), 1).otherwise(0)
+                    F.when(f & F.col("admitted") & (F.col("rn") == 1), 1).otherwise(0)
                 ).alias("children"),
             )
             .collect()
         )
+        raw_total = sum(int(r["n_raw"]) for r in part_rows)
+        candidates = sum(int(r["candidates"]) for r in part_rows)
+        dns_dropped = sum(int(r["dns_dropped"]) for r in part_rows)
+        n_children = sum(int(r["children"]) for r in part_rows)
+        if upd_obs is not None:
+            og = upd_obs.get
+            fetched, ok = int(og["fetched"]), int(og["ok"])
+            timeouts, n_failed = int(og["timeouts"]), int(og["failed"])
+        else:  # wave 0: the root was pre-admitted driver-side
+            fetched, ok, timeouts, n_failed = 1, 1, 0, 0
+
         elapsed_ms = int((time.time() - t0) * 1000)
         metrics_rows = [
             (
-                crawl_id, wave, -1,
-                int(fetch_agg["fetched"]), int(fetch_agg["ok"]), int(n_failed),
-                int(fetch_agg["timeouts"]), int(cand_agg["candidates"]),
-                int(raw_total - cand_agg["candidates"]),
-                int(cand_agg["dns_dropped"] or 0), int(cand_agg["children"] or 0),
+                crawl_id, wave, -1, fetched, ok, n_failed, timeouts,
+                candidates, raw_total - candidates, dns_dropped, n_children,
                 elapsed_ms,
             )
         ] + [
             (
                 crawl_id, wave, int(r["partition_id"]), 0, 0, 0, 0,
-                int(r["candidates"]), 0, int(r["dns_dropped"] or 0),
-                int(r["children"] or 0), 0,
+                int(r["candidates"]), 0, int(r["dns_dropped"]),
+                int(r["children"]), 0,
             )
             for r in part_rows
         ]
@@ -475,14 +519,14 @@ class CrawlEngine:
 
         result = WaveResult(
             wave=wave,
-            fetched=int(fetch_agg["fetched"]),
-            ok=int(fetch_agg["ok"]),
-            failed=int(n_failed),
-            timeouts=int(fetch_agg["timeouts"]),
-            candidates=int(cand_agg["candidates"]),
-            dedup_dropped=int(raw_total - cand_agg["candidates"]),
-            dns_dropped=int(cand_agg["dns_dropped"] or 0),
-            children=int(cand_agg["children"] or 0),
+            fetched=fetched,
+            ok=ok,
+            failed=n_failed,
+            timeouts=timeouts,
+            candidates=candidates,
+            dedup_dropped=raw_total - candidates,
+            dns_dropped=dns_dropped,
+            children=n_children,
             pending_after=-1,
             elapsed_ms=elapsed_ms,
         )
@@ -491,6 +535,8 @@ class CrawlEngine:
         )
         outcomes.unpersist()
         cand.unpersist()
+        for df in to_unpersist:
+            df.unpersist()
         return result
 
     def _cancel_wave(self, crawl_id: str, wave: int) -> None:
