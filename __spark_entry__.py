@@ -346,6 +346,44 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram-shingle Jaccard near-dup join (set semantics)."""
+    from web_crawler_spark.operators.text import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.05)
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash + banded LSH near-dup candidates (rows-only: the token
+    hash is Spark's xxhash64, not reproducible in DuckDB; semantics are
+    pinned by tests/test_operators.py)."""
+    from web_crawler_spark.operators.text import (
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = simhash_signatures(d, "doc_id", "text")
+    pairs = simhash_candidate_pairs(sigs, "doc_id", max_hamming=16)
+    return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path; brute force is the baseline).
+    Rows-only: hyperplane projections aren't bit-reproducible in DuckDB;
+    recall vs brute force is asserted in tests/test_operators.py."""
+    from web_crawler_spark.operators.ann import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return lsh_topk(e, q, k=5, n_planes=3, n_tables=6)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline: tiny query side is
     broadcast, scan side stays distributed — the correct plan at scale."""
@@ -475,7 +513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id_heuristic": q_lang_id_heuristic,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash_near_dup": q_simhash_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "crawl_bfs_demo": q_crawl_bfs_demo,
         "media_span_stats": q_media_span_stats,
@@ -696,6 +737,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unknown' END AS guessed,
                    count(*) AS n_docs
             FROM s GROUP BY 1, 2
+        """,
+        "jaccard_pairs": """
+            WITH words AS (
+              SELECT doc_id,
+                     CASE WHEN len(trim(text))=0 THEN []
+                          ELSE string_split_regex(trim(text), '\\s+') END AS w
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(w)-2, 0)),
+                       i -> array_to_string(list_slice(w, i, i+2), ' ')
+                     )) AS shingle
+              FROM words WHERE len(w) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            j AS (
+              SELECT id_a, id_b, n_common,
+                     round(CAST(n_common AS DOUBLE)
+                           / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+              FROM common
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b)
+            SELECT id_a, id_b, n_common, jaccard FROM j WHERE jaccard >= 0.05
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

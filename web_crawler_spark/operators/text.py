@@ -1,0 +1,172 @@
+"""Text near-dup + analysis operators for the training-data pipeline.
+
+Everything here is built from JVM-side column expressions (explode /
+xxhash64 / bit ops / window) — no Python in the hot path — because these
+ops run over the *document corpus* side of the engine, which is the
+100 TB table.
+
+* ``simhash_signatures``: 64-bit SimHash per doc computed as 64 signed
+  bit-vote aggregates over ``xxhash64(token)`` — one hash aggregation,
+  whole-stage codegen friendly.  Output is the signature as a 64-char
+  bit string plus ``n_bands`` LSH bands (equal-substring join keys).
+* ``simhash_candidate_pairs``: banded self-join => candidate pairs with
+  exact Hamming distance (array ops over the bit strings).
+* ``jaccard_pairs``: n-gram shingle set Jaccard via distinct-shingle
+  self-join — the classic exact near-dup join, SQL-expressible (has a
+  DuckDB oracle in __spark_entry__).
+
+Scale notes: the banded self-join is the standard LSH trick — a pair is
+compared only if some band matches, so the shuffle key is (band_idx,
+band_bits) and hot bands (boilerplate text) are the skew risk; cap band
+bucket size upstream if needed.  The signature aggregation is a single
+groupBy(doc) with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SIG_BITS = 64
+
+
+def tokens_col(text: F.Column) -> F.Column:
+    """Whitespace tokenization; empty/blank text => empty array."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def shingles_col(words: F.Column, n: int = 3) -> F.Column:
+    """n-word shingles in order (array<string>); < n words => empty."""
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    return F.when(cnt > 0, F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_bands: int = 8
+) -> DataFrame:
+    """Per-doc 64-bit SimHash as a bit string + LSH bands.
+
+    SimHash: each token votes +1/-1 on every bit according to the bit
+    pattern of xxhash64(token); the signature bit is the vote sign.
+    Docs with no tokens get the all-zeros signature.
+    """
+    toks = df.select(id_col, F.explode_outer(tokens_col(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("tok").isNull(), 0).otherwise(
+                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                )
+            ).alias(f"b{i}")
+            for i in range(SIG_BITS)
+        ]
+    )
+    sig = F.concat(
+        *[
+            F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SIG_BITS - 1, -1, -1)
+        ]
+    )
+    out = votes.select(id_col, sig.alias("sig"))
+    band_w = SIG_BITS // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.substring("sig", b * band_w + 1, band_w).alias("band_bits"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return out.withColumn("bands", bands)
+
+
+def hamming_col(sig_a: F.Column, sig_b: F.Column) -> F.Column:
+    """Hamming distance between two equal-length bit strings."""
+    return F.size(
+        F.filter(
+            F.zip_with(
+                F.split(sig_a, ""), F.split(sig_b, ""), lambda a, b: a != b
+            ),
+            lambda x: x,
+        )
+    )
+
+
+def simhash_candidate_pairs(
+    sigs: DataFrame, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Banded LSH self-join: pairs sharing >=1 band, with exact Hamming.
+
+    Standard SimHash near-dup guarantee: two docs within Hamming k of
+    each other share at least one of k+1 bands, so with n_bands=8 every
+    pair at distance <=7 is found exactly; max_hamming<=n_bands-1 keeps
+    the filter complete (no missed pairs).
+    """
+    banded = sigs.select(
+        F.col(id_col), F.col("sig"), F.explode("bands").alias("band")
+    ).select(
+        id_col, "sig",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_bits").alias("band_bits"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+        "band_idx", "band_bits",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+        "band_idx", "band_bits",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])  # multiple shared bands => once
+    )
+    return pairs.withColumn("hamming", hamming_col(F.col("sig_a"), F.col("sig_b"))).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard similarity join (set semantics)."""
+    sh = (
+        df.select(id_col, F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
