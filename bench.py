@@ -29,8 +29,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-NDOCS = int(os.environ.get("SPARK_GRAFT_NDOCS", "60000"))
-DEPTH = int(os.environ.get("SPARK_GRAFT_DEPTH", "5"))
+NDOCS = int(os.environ.get("SPARK_GRAFT_NDOCS", "200000"))
+DEPTH = int(os.environ.get("SPARK_GRAFT_DEPTH", "7"))
+# constant across parallelism levels: the scaling experiment varies ONLY
+# the core count, keeping plan + task granularity identical
+SHUFFLE = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
 
 BENCH_QUERIES = [
     "progress_counts",
@@ -57,7 +60,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("web_crawler_spark-bench")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.shuffle.partitions", str(SHUFFLE))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -68,12 +71,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # ---- crawl-engine headline: synthetic corpus, multi-wave BFS ----
-    # high out-degree so a depth-5 single-seed crawl saturates the corpus
-    # (the bench measures frontier throughput, not tiny-tree overhead)
+    # high out-degree + depth beyond the frontier's saturation point so
+    # the run covers both regimes that matter at scale: exponential
+    # expansion (waves dominated by extraction) and seen-set saturation
+    # (waves dominated by dedup) — the bench measures frontier
+    # throughput, not tiny-tree overhead.  max_crawl_depth is raised
+    # above the reference's UI cap (5) for the throughput run only.
     params = CorpusParams(
         n_docs=NDOCS,
         urls_per_host=8,
-        links_per_span_max=8,
+        links_per_span_max=10,
         spans_max=10,
         dead_link_pct=8,
     )
@@ -83,7 +90,7 @@ def main() -> None:
         corpus_path
     )
     docs = spark.read.parquet(corpus_path)
-    cfg = CrawlConfig(host_budget_per_wave=None)
+    cfg = CrawlConfig(host_budget_per_wave=None, max_crawl_depth=max(5, DEPTH))
     store = SnapshotStore(f"{tmp}/store")
     eng = CrawlEngine(spark, store, docs, cfg)
 
@@ -100,6 +107,12 @@ def main() -> None:
             seed = did
             break
     assert seed is not None
+
+    # warm-up: a small depth-2 crawl absorbs JVM JIT + python-worker
+    # startup so the timed run measures steady-state throughput (crawl
+    # isolation keeps it invisible to the bench crawl's state)
+    wid = eng.start_crawl(seed, 2, crawl_id="warm")
+    eng.run_crawl(wid)
 
     t0 = time.time()
     cid = eng.start_crawl(seed, DEPTH, crawl_id="bench")

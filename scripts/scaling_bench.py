@@ -37,8 +37,8 @@ def run(cpus: int, ndocs: int, depth: int) -> dict:
 
 
 def main() -> None:
-    ndocs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
-    depth = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    ndocs = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
+    depth = int(sys.argv[2]) if len(sys.argv) > 2 else 7
 
     r8 = run(8, ndocs, depth)
     r32 = run(32, ndocs, depth)

@@ -22,6 +22,11 @@ class CrawlConfig:
     # deterministic-simulation knobs (sandbox stand-ins for live HTTP/DNS)
     dns_resolve_permille: int = 985   # P(suffix resolves) = 985/1000
     seed_tag: str = "v1"              # namespaces all hash-derived randomness
+    # "pandas": Arrow-batched UDF, one eval per name (fast — the HOF
+    # column-expression form runs interpreted and re-evaluates per output
+    # column); "expr": pure column expressions (zero Python, for
+    # environments where Python workers are undesirable). Identical output.
+    dns_impl: str = "pandas"
 
     # politeness / skew (north-rule additions; None = unlimited, reference parity)
     host_budget_per_wave: int | None = None

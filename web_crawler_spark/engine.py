@@ -9,7 +9,8 @@ at once, as a single declarative DataFrame pipeline:
     outcomes  = deterministic fetch simulation (404 / timeout+retry / ok)
     links     = posexplode(text spans) -> regexp_extract_all -> posexplode
     local     = per-parent distinct on canonical key, min in-page position
-    fresh     = local LEFT ANTI JOIN frontier ON (crawl_id,url_hash,full_key)
+    fresh     = bloom prefilter (stage 1), then exact left join vs the
+                frontier on (crawl_id,url_hash,full_key) => is_fresh flag
     admitted  = DNS simulation + robots filter (column expressions only)
     winners   = row_number() OVER (PARTITION BY child ORDER BY parent,pos)=1
     commit    = inserts(children) + updates(parent transitions) + edges +
@@ -56,7 +57,13 @@ from pyspark.sql import functions as F
 
 from .config import CrawlConfig
 from .functions.urls import URL_REGEX_JAVA, normalize_cols, normalize_url_py
-from .sources.simulators import dns_cols, dns_py, fetch_outcome_cols, fetch_outcome_py
+from .sources.simulators import (
+    dns_cols,
+    dns_pandas_udf,
+    dns_py,
+    fetch_outcome_cols,
+    fetch_outcome_py,
+)
 from .store import METRICS_SCHEMA, SnapshotStore
 
 PENDING, COMPLETED, FAILED, CANCELLED = "PENDING", "COMPLETED", "FAILED", "CANCELLED"
@@ -99,9 +106,18 @@ class CrawlEngine:
         self.spark = spark
         self.store = store
         self.cfg = cfg or CrawlConfig()
-        # only (doc_id, spans) ever needed — prune before caching
-        self.documents = documents.select("doc_id", "spans")
+        # prune to (doc_id, spans), hash-partition by the join key, cache:
+        # every wave's fetch join then shuffles only the wave side.  At
+        # production scale the same property comes from bucketing the
+        # Iceberg documents table by xxhash64(doc_id) instead of caching.
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self.documents = (
+            documents.select("doc_id", "spans").repartition(n_part, "doc_id").persist()
+        )
         self.robots = robots  # columns: host, disallowed
+        # larger Arrow batches for the narrow bloom/DNS UDF stages: fewer
+        # batch boundaries => better JVM<->Python pipelining per task
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
 
     # ------------------------------------------------------------------
     # crawl lifecycle (reference: POST /api/v1/crawls, routes/crawl.rs:31-139)
@@ -175,31 +191,46 @@ class CrawlEngine:
         wave = (committed[-1] + 1) if committed else 1
 
         waves_done = 0
-        while True:
-            meta = self.store.read_crawl_meta(crawl_id)
-            if meta["status"] == "cancelling":
-                self._cancel_wave(crawl_id, wave)
-                meta["status"] = "cancelled"
-                self.store.write_crawl_meta(meta)
-                return meta
-            if max_waves is not None and waves_done >= max_waves:
-                return meta
+        frontier: DataFrame | None = None
+        try:
+            while True:
+                meta = self.store.read_crawl_meta(crawl_id)
+                if meta["status"] == "cancelling":
+                    self._cancel_wave(crawl_id, wave)
+                    meta["status"] = "cancelled"
+                    self.store.write_crawl_meta(meta)
+                    return meta
+                if max_waves is not None and waves_done >= max_waves:
+                    return meta
 
-            # one frontier materialization per wave: every downstream use
-            # (pending count, politeness window, seen anti-join) hits the
-            # cache instead of re-reading + re-merging the delta files
-            frontier = self.store.frontier(self.spark, crawl_id).persist()
-            try:
+                # the frontier lives cached across waves: loaded from the
+                # snapshot store once (resume point), then folded forward
+                # with each wave's own deltas — per-wave I/O stays O(wave),
+                # not O(crawl) (the in-memory twin of Iceberg merge-on-read)
+                if frontier is None:
+                    frontier = self.store.frontier(self.spark, crawl_id).persist()
                 eligible, n_pending = self._eligible(frontier)
                 if n_pending == 0:
                     meta["status"] = "completed"
                     self.store.write_crawl_meta(meta)
                     return meta
                 self._run_wave(crawl_id, wave, eligible, seen=frontier, is_root=False)
-            finally:
+                merged = self._merge_wave(frontier, crawl_id, wave)
+                if wave % self.cfg.compact_every_waves == 0:
+                    # truncate the join/union lineage chain every few waves
+                    # (driver-side plan growth); content is identical and
+                    # already deterministic, so checkpointing is safe
+                    merged = merged.localCheckpoint(eager=True)
+                else:
+                    merged = merged.persist()
+                    merged.count()  # materialize before releasing the parent
                 frontier.unpersist()
-            wave += 1
-            waves_done += 1
+                frontier = merged
+                wave += 1
+                waves_done += 1
+        finally:
+            if frontier is not None:
+                frontier.unpersist()
 
     # ------------------------------------------------------------------
     # wave internals
@@ -246,10 +277,15 @@ class CrawlEngine:
         cfg = self.cfg
 
         # ---- fetch simulation (S1): join against the corpus ----
+        # documents is pre-partitioned by doc_id and cached (init), so
+        # this left join shuffles only the wave side — the corpus (the
+        # 100 TB side at production, where bucketed tables play the same
+        # role) is never re-shuffled per wave
         docs = self.documents
-        fetched = parents.select(
+        wave_side = parents.select(
             "crawl_id", "full_key", "name", "depth", "requested_depth", "attempts"
-        ).join(docs, parents["full_key"] == docs["doc_id"], "left")
+        )
+        fetched = wave_side.join(docs, wave_side["full_key"] == docs["doc_id"], "left")
         fo = fetch_outcome_cols(
             F.col("full_key"), F.col("doc_id").isNotNull(), F.col("attempts"), cfg
         )
@@ -321,12 +357,16 @@ class CrawlEngine:
             if cfg.use_bloom_prefilter:
                 # stage 1: partition-local bloom verdict (no false
                 # negatives) — certainly-fresh candidates skip the exact
-                # join shuffle entirely (operators/dedup.py)
-                from .operators.dedup import bloom_maybe_seen, build_bloom_bitmaps
+                # join shuffle entirely.  Narrow scalar UDF: only the
+                # hash column crosses the Arrow boundary (dedup.py).
+                from .operators.dedup import bloom_maybe_seen_udf, build_bloom_bitmaps
 
                 bitmaps = build_bloom_bitmaps(seen, cfg)
                 bcast = self.spark.sparkContext.broadcast(bitmaps)
-                flagged = bloom_maybe_seen(local, bcast, cfg).persist()
+                flagged = local.withColumn(
+                    "maybe_seen",
+                    bloom_maybe_seen_udf(bcast, cfg)(F.col("child_hash")),
+                ).persist()
                 to_unpersist.append(flagged)
                 certain = (
                     flagged.filter(~F.col("maybe_seen"))
@@ -349,12 +389,22 @@ class CrawlEngine:
             fresh = local.withColumn("is_fresh", F.lit(True))
 
         # ---- DNS + robots admission (S2/D6) ----
-        dns = dns_cols(F.col("child_name"), cfg)
-        cand = (
-            fresh.withColumn("dns_ok", dns["dns_ok"])
-            .withColumn("child_domain", dns["domain"])
-            .withColumn("child_ip", dns["ip"])
-        )
+        if cfg.dns_impl == "pandas":
+            dns_struct = dns_pandas_udf(cfg)(F.col("child_name"))
+            cand = (
+                fresh.withColumn("_dns", dns_struct)
+                .withColumn("dns_ok", F.col("_dns.dns_ok"))
+                .withColumn("child_domain", F.col("_dns.domain"))
+                .withColumn("child_ip", F.col("_dns.ip"))
+                .drop("_dns")
+            )
+        else:
+            dns = dns_cols(F.col("child_name"), cfg)
+            cand = (
+                fresh.withColumn("dns_ok", dns["dns_ok"])
+                .withColumn("child_domain", dns["domain"])
+                .withColumn("child_ip", dns["ip"])
+            )
         if cfg.respect_robots and self.robots is not None:
             rb = self.robots.select(
                 F.col("host").alias("_r_host"), F.col("disallowed").alias("_r_disallowed")
@@ -464,15 +514,12 @@ class CrawlEngine:
         else:
             updates, upd_obs = None, None
 
-        # ---- commit the snapshot (S3): deltas then marker ----
-        self.store.write_delta(children, crawl_id, wave, "inserts")
-        self.store.write_delta(edges, crawl_id, wave, "edges")
-        if updates is not None:
-            self.store.write_delta(updates, crawl_id, wave, "updates")
-
-        # ---- metrics w/ per-partition lineage (north rule; A-series) ----
-        # one pass over the cached candidate set yields the per-partition
-        # lineage rows AND (summed driver-side) the wave totals
+        # ---- metrics pass FIRST: materializes the cand cache at full
+        # parallelism.  The delta writes below are coalesced to few files;
+        # if one of them were the first action, its coalesce would pull
+        # the whole wave pipeline (explode/bloom/window over millions of
+        # rows) through that handful of tasks and serialize the heavy
+        # stage — the cache must be filled by a full-width job first.
         f = F.col("is_fresh")
         part_rows = (
             cand.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -492,6 +539,13 @@ class CrawlEngine:
         candidates = sum(int(r["candidates"]) for r in part_rows)
         dns_dropped = sum(int(r["dns_dropped"]) for r in part_rows)
         n_children = sum(int(r["children"]) for r in part_rows)
+
+        # ---- commit the snapshot (S3): deltas then marker ----
+        self.store.write_delta(children, crawl_id, wave, "inserts")
+        self.store.write_delta(edges, crawl_id, wave, "edges")
+        if updates is not None:
+            self.store.write_delta(updates, crawl_id, wave, "updates")
+
         if upd_obs is not None:
             og = upd_obs.get
             fetched, ok = int(og["fetched"]), int(og["ok"])
@@ -515,7 +569,7 @@ class CrawlEngine:
             for r in part_rows
         ]
         metrics_df = self.spark.createDataFrame(metrics_rows, METRICS_SCHEMA)
-        self.store.write_delta(metrics_df, crawl_id, wave, "metrics")
+        self.store.write_delta(metrics_df, crawl_id, wave, "metrics", files=1)
 
         result = WaveResult(
             wave=wave,
@@ -538,6 +592,37 @@ class CrawlEngine:
         for df in to_unpersist:
             df.unpersist()
         return result
+
+    def _merge_wave(
+        self, prev: DataFrame, crawl_id: str, wave: int
+    ) -> DataFrame:
+        """Fold one committed wave's deltas into the cached frontier:
+        apply this wave's status updates to existing rows, append its
+        inserts.  Reads only the new wave's files."""
+        from .store import FRONTIER_SCHEMA, UPDATES_SCHEMA
+
+        wd = self.store.wave_dir(crawl_id, wave)
+        ins = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+            str(wd / "inserts.parquet")
+        )
+        upd = (
+            self.spark.read.schema(UPDATES_SCHEMA)
+            .parquet(str(wd / "updates.parquet"))
+            .select(
+                "crawl_id",
+                "url_hash",
+                "full_key",
+                F.col("status").alias("_u_status"),
+                F.col("attempts").alias("_u_attempts"),
+            )
+        )
+        merged = (
+            prev.join(upd, ["crawl_id", "url_hash", "full_key"], "left")
+            .withColumn("status", F.coalesce("_u_status", "status"))
+            .withColumn("attempts", F.coalesce("_u_attempts", "attempts"))
+            .drop("_u_status", "_u_attempts")
+        )
+        return merged.unionByName(ins)
 
     def _cancel_wave(self, crawl_id: str, wave: int) -> None:
         """Turn every PENDING row into CANCELLED in one updates-only

@@ -105,8 +105,12 @@ def build_bloom_bitmaps(
             {"bucket": list(acc), "bitmap": [bm.tobytes() for bm in acc.values()]}
         )
 
+    # one shuffle of (url_hash) only, bucket-per-partition: each task
+    # emits exactly one bitmap, so the driver collects n_buckets bitmaps
+    # total instead of n_partitions x n_buckets partials
     rows = (
         seen.select(hash_col)
+        .repartition(n_buckets, F.pmod(F.col(hash_col), F.lit(n_buckets)))
         .mapInPandas(partial, schema="bucket int, bitmap binary")
         .collect()
     )
@@ -118,6 +122,48 @@ def build_bloom_bitmaps(
         else:
             out[r.bucket] = bm
     return {b: bm.tobytes() for b, bm in out.items()}
+
+
+def _test_hashes(bitmaps: dict, h_signed: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
+    """Vectorized bloom membership verdict for an int64 hash array."""
+    n_buckets = cfg.dedup_buckets
+    m_bits = _bucket_bits(cfg)
+    h = h_signed.astype(np.uint64)
+    verdict = np.zeros(len(h), dtype=bool)
+    buckets = (h % np.uint64(n_buckets)).astype(np.int64)
+    for b in np.unique(buckets):
+        bm = bitmaps.get(int(b))
+        if bm is None:  # empty bucket => certainly fresh
+            continue
+        sel = buckets == b
+        hits = np.ones(int(sel.sum()), dtype=bool)
+        for pos in _probe_positions(h[sel], cfg.bloom_num_probes, m_bits):
+            hits &= _test_bits(bm, pos)
+        verdict[sel] = hits
+    return verdict
+
+
+def bloom_maybe_seen_udf(bitmaps_bcast, cfg: CrawlConfig):
+    """Scalar pandas UDF ``url_hash -> maybe_seen`` (no false negatives).
+
+    Narrow by construction: only the hash column crosses the Arrow
+    boundary (the wide mapInPandas variant ships every candidate column
+    through Python — profiled as the wave bottleneck, workers mostly
+    socket-waiting).  Catalyst batches this UDF together with the DNS UDF
+    into a single ArrowEvalPython pass when both appear in one projection.
+    """
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def _test(hashes):  # pd.Series[int64] -> pd.Series[bool]
+        import pandas as pd  # noqa: PLC0415
+
+        bitmaps = {
+            b: np.frombuffer(v, dtype=np.uint64)
+            for b, v in bitmaps_bcast.value.items()
+        }
+        return pd.Series(_test_hashes(bitmaps, hashes.to_numpy(dtype=np.int64), cfg))
+
+    return pandas_udf(_test, "boolean")
 
 
 def bloom_maybe_seen(

@@ -156,10 +156,15 @@ class SnapshotStore:
 
     # ---- writers (called by the engine inside a wave, pre-commit) ----
     def write_delta(
-        self, df: DataFrame, crawl_id: str, wave: int, kind: str
+        self, df: DataFrame, crawl_id: str, wave: int, kind: str, files: int = 8
     ) -> None:
+        """Write one wave delta.  Coalesced to a few files: per-wave deltas
+        are small relative to the table, and the merge-on-read reader
+        lists every delta file of every committed wave — at file counts,
+        not bytes, that listing is the cost that grows with crawl depth.
+        (Iceberg's manifest tree solves this structurally at production.)"""
         path = self.wave_dir(crawl_id, wave) / f"{kind}.parquet"
-        df.write.mode("overwrite").parquet(str(path))
+        df.coalesce(files).write.mode("overwrite").parquet(str(path))
 
     # ---- readers (see only committed waves) ----
     def _read_kind(
