@@ -233,7 +233,12 @@ def q_dedup_exact_hash(spark, sf_dir):
 def q_minhash_band_buckets(spark, sf_dir):
     """MinHash+LSH: 3-word shingles -> per-band min-hash (lexicographic min
     of md5(band|shingle), engine-portable) -> bucket by (band, signature);
-    buckets with >1 doc are near-dup candidates."""
+    buckets with >1 doc are near-dup candidates.
+
+    All 4 band signatures come from ONE groupBy(doc_id) with 4 min()
+    aggregates, then unpivot (stack) — the round-1 plan exploded the
+    shingle set x4 bands before aggregating, quadrupling shuffle input
+    (it was the slowest bench query for exactly that reason)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = _tokens(F.col("text"))
     n_sh = F.greatest(F.size(words) - F.lit(2), F.lit(0))
@@ -244,15 +249,15 @@ def q_minhash_band_buckets(spark, sf_dir):
     sh = d.select(
         "doc_id", F.explode(F.when(n_sh > 0, shingles)).alias("shingle")
     )
-    bands = sh.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
-        "shingle",
+    sigs_wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"_s{b}")
+            for b in range(4)
+        ]
     )
-    sigs = bands.groupBy("doc_id", "band").agg(
-        F.min(
-            F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
-        ).alias("sig")
+    sigs = sigs_wide.select(
+        "doc_id",
+        F.expr("stack(4, 0, _s0, 1, _s1, 2, _s2, 3, _s3) AS (band, sig)"),
     )
     buckets = sigs.groupBy("band", "sig").agg(F.count("*").alias("n_docs"))
     return buckets.groupBy("band").agg(
@@ -346,18 +351,27 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+# hot-shingle document-frequency cap for the jaccard entry (axis B skew
+# guard) — the oracle SQL replicates it exactly
+JACCARD_MAX_DF = 50
+
+
 def q_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram-shingle Jaccard near-dup join (set semantics)."""
+    """Exact n-gram-shingle Jaccard near-dup join (set semantics) with a
+    hot-shingle DF cap: a boilerplate shingle shared by k docs would
+    otherwise create k^2 join rows."""
     from web_crawler_spark.operators.text import jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.05)
+    return jaccard_pairs(
+        d, "doc_id", "text", n=3, min_jaccard=0.05, max_df=JACCARD_MAX_DF
+    )
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash + banded LSH near-dup candidates (rows-only: the token
-    hash is Spark's xxhash64, not reproducible in DuckDB; semantics are
-    pinned by tests/test_operators.py)."""
+    """SimHash + banded LSH near-dup candidates.  The token hash is
+    md5-derived (engine-portable), so the full pipeline — 64 bit-votes,
+    banding, self-join, exact Hamming — has a DuckDB oracle."""
     from web_crawler_spark.operators.text import (
         simhash_candidate_pairs,
         simhash_signatures,
@@ -369,9 +383,18 @@ def q_simhash_near_dup(spark, sf_dir):
     return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
 
 
+# ANN LSH entry parameters — shared by the Spark query, the generated
+# DuckDB oracle SQL, and the recall test.  (3 planes, 10 tables) measured
+# 0.96 recall@5 vs brute force on the sf0.001 random embeddings (the
+# LSH worst case); tests assert >= 0.9.
+ANN_LSH = {"k": 5, "dim": 64, "n_planes": 3, "n_tables": 10, "seed": 42,
+           "bucket_cap": 200}
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (the scale path; brute force is the baseline).
-    Rows-only: hyperplane projections aren't bit-reproducible in DuckDB;
+    ±1-plane signatures over quantized vectors are bit-reproducible, so
+    the DuckDB oracle replicates bucketing + cap + ranking exactly;
     recall vs brute force is asserted in tests/test_operators.py."""
     from web_crawler_spark.operators.ann import lsh_topk
 
@@ -381,7 +404,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    return lsh_topk(e, q, k=5, n_planes=3, n_tables=6)
+    return lsh_topk(e, q, **ANN_LSH)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -406,6 +429,8 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """All-pairs exact cosine near-dup count — the LABELED small-scale
+    baseline only (O(n^2)); `embedding_near_dup_lsh` is the scale path."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -423,42 +448,113 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+# near-dup LSH entry parameters (shared with the generated oracle SQL)
+ND_LSH = {"dim": 64, "n_planes": 6, "n_tables": 6, "seed": 7}
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Embedding near-dup via LSH buckets — the 100 TB plan: candidate
+    pairs only from shared (table, signature) buckets (banded self-join),
+    then exact cosine on the candidates.  Replaces the all-pairs O(n^2)
+    join of the exact baseline with a bucketed shuffle."""
+    from web_crawler_spark.operators.ann import (
+        cosine_col,
+        hyperplanes,
+        quantize_col,
+        signature_col,
+    )
+
+    planes = hyperplanes(ND_LSH["dim"], ND_LSH["n_planes"], ND_LSH["n_tables"],
+                         ND_LSH["seed"])
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sigs = e.withColumn("_qv", quantize_col(F.col("v"))).select(
+        "vec_id",
+        "v",
+        *[
+            signature_col(F.col("_qv"), planes[t]).alias(f"sig{t}")
+            for t in range(ND_LSH["n_tables"])
+        ],
+    )
+    pairs = None
+    for t in range(ND_LSH["n_tables"]):
+        a = sigs.select(
+            F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+            F.col(f"sig{t}").alias("_s"),
+        )
+        b = sigs.select(
+            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+            F.col(f"sig{t}").alias("_s"),
+        )
+        p = a.join(b, "_s").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "va", "vb"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    cos = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+    return pairs.select(cos.alias("cosine")).agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("cosine") >= 0.9, 1).otherwise(0)).alias("n_near_dup"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # crawl engine + multimodal (rows-only: verified by the pytest oracle suite)
 # ---------------------------------------------------------------------------
 
+# deterministic demo-crawl parameters, shared by the Spark query and the
+# generated oracle SQL (the sequential Python oracle's output as VALUES)
+CRAWL_DEMO = {"n_docs": 60, "depth": 2}
+
+
 def q_crawl_bfs_demo(spark, sf_dir):
     """The actual wave engine end-to-end on a small deterministic corpus:
-    returns the final frontier (the URL-seen set with depths/statuses)."""
+    returns the final frontier (the URL-seen set with depths/statuses).
+    The DuckDB oracle embeds the sequential Python oracle crawler's
+    frontier (oracle.py — the executable deterministic spec) as a VALUES
+    table, so the driver gate checks the distributed engine against an
+    independent implementation."""
     import tempfile
 
     from web_crawler_spark.config import CrawlConfig
-    from web_crawler_spark.corpus import CorpusParams, build_corpus_py, documents_df_from_py
+    from web_crawler_spark.corpus import (
+        CorpusParams,
+        build_corpus_py,
+        documents_df_from_py,
+        good_seeds,
+    )
     from web_crawler_spark.engine import CrawlEngine
     from web_crawler_spark.store import SnapshotStore
 
-    params = CorpusParams(n_docs=60)
+    params = CorpusParams(n_docs=CRAWL_DEMO["n_docs"])
     corpus = build_corpus_py(params)
     docs = documents_df_from_py(spark, corpus)
     cfg = CrawlConfig()
     store = SnapshotStore(tempfile.mkdtemp(prefix="crawl_demo_"))
     eng = CrawlEngine(spark, store, docs, cfg)
-    from tests.helpers import good_seeds  # deterministic seed choice
-
     seed = good_seeds(corpus, cfg, limit=1)[0]
-    cid = eng.start_crawl(seed, 2, crawl_id="demo")
+    cid = eng.start_crawl(seed, CRAWL_DEMO["depth"], crawl_id="demo")
     eng.run_crawl(cid)
     return store.frontier(spark, cid).select(
         "full_key", "depth", "status", "attempts", "wave", "domain"
     )
 
 
+MEDIA_DEMO_DOCS = 200  # corpus size shared with the generated oracle SQL
+
+
 def q_media_span_stats(spark, sf_dir):
     """Interleaved multimodal corpus: per-kind span stats (span-sequence
-    plumbing demo over array<struct> columns)."""
+    plumbing over array<struct> columns).  Oracle: the pure-Python corpus
+    twin computes the same aggregates sequentially (VALUES table), so the
+    gate checks the distributed mapInPandas generation + explode path."""
     from web_crawler_spark.corpus import CorpusParams, generate_documents_df
 
-    docs = generate_documents_df(spark, CorpusParams(n_docs=200), partitions=8)
+    docs = generate_documents_df(
+        spark, CorpusParams(n_docs=MEDIA_DEMO_DOCS), partitions=8
+    )
     spans = docs.select(F.posexplode("spans").alias("idx", "span"))
     return spans.groupBy(F.col("span.kind").alias("kind")).agg(
         F.count("*").alias("n_spans"),
@@ -470,17 +566,258 @@ def q_media_span_stats(spark, sf_dir):
 def q_media_features_stub(spark, sf_dir):
     """Multimodal decode plumbing: mapInPandas over media spans producing
     deterministic stub features (real decoders are stubbed — no image/audio
-    libs in this container); schema/batching/partitioning are real."""
+    libs in this container); schema/batching/partitioning are real.
+    sum(feat_norm) instead of avg: every stub feature is an exact multiple
+    of 1e-4, so the 4-decimal rounded sum is engine-portable (an avg's
+    division can land on a rounding boundary)."""
     from web_crawler_spark.corpus import CorpusParams, generate_documents_df
     from web_crawler_spark.operators.media import extract_media_features
 
-    docs = generate_documents_df(spark, CorpusParams(n_docs=200), partitions=8)
+    docs = generate_documents_df(
+        spark, CorpusParams(n_docs=MEDIA_DEMO_DOCS), partitions=8
+    )
     feats = extract_media_features(docs)
     return feats.groupBy("kind").agg(
         F.count("*").alias("n_media"),
-        F.round(F.avg("feat_norm"), 6).alias("avg_feat_norm"),
+        F.round(F.sum("feat_norm"), 4).alias("sum_feat_norm"),
         F.max("stub_bytes").alias("max_stub_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# generated oracle SQL (pure Python — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+def _simhash_sql() -> str:
+    """DuckDB twin of q_simhash_near_dup: 64 md5-nibble bit-votes per doc,
+    8-band LSH self-join, exact Hamming."""
+    votes = ",\n".join(
+        "sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {d}, 1)) - 1) "
+        ">> {s}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}".format(
+            d=i // 4 + 1, s=i % 4, i=i
+        )
+        for i in range(64)
+    )
+    sig = ", ".join(
+        f"CASE WHEN coalesce(v.b{i}, 0) > 0 THEN '1' ELSE '0' END"
+        for i in range(63, -1, -1)
+    )
+    return f"""
+        WITH words AS (
+          SELECT doc_id,
+                 CASE WHEN len(trim(text))=0 THEN []
+                      ELSE string_split_regex(trim(text), '\\s+') END AS w
+          FROM documents),
+        toks AS (SELECT doc_id, unnest(w) AS tok FROM words),
+        hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+        sigs AS (
+          SELECT d.doc_id, concat({sig}) AS sig
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN votes v USING (doc_id)),
+        banded AS (
+          SELECT doc_id, sig, unnest([0,1,2,3,4,5,6,7]) AS band_idx FROM sigs),
+        bands AS (
+          SELECT doc_id, sig, band_idx,
+                 substr(sig, band_idx*8 + 1, 8) AS band_bits
+          FROM banded),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sig AS sig_a, b.sig AS sig_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id),
+        ham AS (
+          SELECT id_a, id_b,
+                 CAST(len(list_filter(generate_series(1, 64),
+                      i -> substr(sig_a, i, 1) != substr(sig_b, i, 1)))
+                      AS INTEGER) AS hamming
+          FROM pairs)
+        SELECT hamming, count(*) AS n_pairs
+        FROM ham WHERE hamming <= 16 GROUP BY hamming
+    """
+
+
+def _lsh_sig_select(planes, vcol: str = "q") -> list[str]:
+    """Per-table signature expressions over a quantized BIGINT list column:
+    each bit is sign(sum of ±{vcol}[i]) — exact integer arithmetic, the
+    same literals the Spark query inlines."""
+    out = []
+    for t in range(len(planes)):
+        bits = []
+        for p in planes[t]:
+            terms = "0 " + " ".join(
+                f"{'+' if int(w) > 0 else '-'} {vcol}[{i + 1}]"
+                for i, w in enumerate(p)
+            )
+            bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+        out.append("concat(" + ", ".join(bits) + f") AS sig{t}")
+    return out
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of q_ann_lsh_topk: same ±1 planes (seeded numpy),
+    same 1e-6 quantization, same per-bucket cap, same ranking."""
+    from web_crawler_spark.operators.ann import QUANT, hyperplanes
+
+    p = ANN_LSH
+    planes = hyperplanes(p["dim"], p["n_planes"], p["n_tables"], p["seed"])
+    sig_exprs = ",\n".join(_lsh_sig_select(planes))
+    unions = "\n          UNION ALL\n".join(
+        f"""SELECT qx.query_id, qx.qv, s2.vec_id, s2.v
+          FROM qx JOIN (SELECT vec_id, v, sig{t} FROM (
+                 SELECT vec_id, v, sig{t},
+                        row_number() OVER (PARTITION BY sig{t} ORDER BY vec_id) AS rn
+                 FROM s) WHERE rn <= {p["bucket_cap"]}) s2
+            ON qx.sig{t} = s2.sig{t} AND s2.vec_id != qx.query_id"""
+        for t in range(p["n_tables"])
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+          FROM embeddings),
+        s AS (SELECT vec_id, v, {sig_exprs} FROM e),
+        qx AS (SELECT vec_id AS query_id, v AS qv, * EXCLUDE (vec_id, v)
+               FROM s WHERE vec_id < 5),
+        cand AS (
+          SELECT DISTINCT query_id, qv, vec_id, v FROM (
+          {unions}
+          )),
+        scored AS (
+          SELECT query_id, vec_id AS neighbor_id,
+                 round(list_dot_product(qv, v)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(v, v))), 6) AS cosine
+          FROM cand),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {p["k"]}
+    """
+
+
+def _near_dup_lsh_sql() -> str:
+    """DuckDB twin of q_embedding_near_dup_lsh."""
+    from web_crawler_spark.operators.ann import QUANT, hyperplanes
+
+    p = ND_LSH
+    planes = hyperplanes(p["dim"], p["n_planes"], p["n_tables"], p["seed"])
+    sig_exprs = ",\n".join(_lsh_sig_select(planes))
+    unions = "\n          UNION ALL\n".join(
+        f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+          FROM s a JOIN s b ON a.sig{t} = b.sig{t} AND a.vec_id < b.vec_id"""
+        for t in range(p["n_tables"])
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+          FROM embeddings),
+        s AS (SELECT vec_id, v, {sig_exprs} FROM e),
+        cand AS (
+          SELECT DISTINCT id_a, id_b, va, vb FROM (
+          {unions}
+          )),
+        scored AS (
+          SELECT round(list_dot_product(va, vb)
+                       / (sqrt(list_dot_product(va, va))
+                          * sqrt(list_dot_product(vb, vb))), 6) AS cosine
+          FROM cand)
+        SELECT count(*) AS n_candidate_pairs,
+               CAST(sum(CASE WHEN cosine >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_near_dup,
+               round(max(cosine), 6) AS max_cosine
+        FROM scored
+    """
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _crawl_demo_sql() -> str:
+    """The sequential Python oracle's final frontier as a VALUES table —
+    the driver gate then checks the distributed engine against the
+    independent implementation (oracle.py, the deterministic spec)."""
+    from web_crawler_spark.config import CrawlConfig
+    from web_crawler_spark.corpus import CorpusParams, build_corpus_py, good_seeds
+    from web_crawler_spark.oracle import OracleCrawler
+
+    params = CorpusParams(n_docs=CRAWL_DEMO["n_docs"])
+    corpus = build_corpus_py(params)
+    cfg = CrawlConfig()
+    seed = good_seeds(corpus, cfg, limit=1)[0]
+    res = OracleCrawler(corpus, cfg).crawl(seed, CRAWL_DEMO["depth"], crawl_id="demo")
+    rows = ",\n".join(
+        f"({_sql_quote(k)}, {n.depth}, {_sql_quote(n.status)}, {n.attempts}, "
+        f"{n.wave}, {_sql_quote(n.domain or '')})"
+        for k, n in sorted(res.nodes.items())
+    )
+    return f"""
+        SELECT full_key, CAST(depth AS INTEGER) AS depth, status,
+               CAST(attempts AS INTEGER) AS attempts,
+               CAST(wave AS INTEGER) AS wave, domain
+        FROM (VALUES {rows}) AS t(full_key, depth, status, attempts, wave, domain)
+    """
+
+
+def _media_span_stats_sql() -> str:
+    """Pure-Python corpus twin of q_media_span_stats as VALUES."""
+    from web_crawler_spark.corpus import CorpusParams, doc_spans
+
+    params = CorpusParams(n_docs=MEDIA_DEMO_DOCS)
+    agg: dict[str, list[int]] = {}
+    for i in range(params.n_docs):
+        for s in doc_spans(i, params):
+            a = agg.setdefault(s["kind"], [0, 0, 0])
+            a[0] += 1
+            a[1] += 1 if s["media_ref"] != "" else 0
+            a[2] = max(a[2], s["offset"])
+    rows = ",".join(
+        f"({_sql_quote(k)}, {v[0]}, {v[1]}, {v[2]})" for k, v in sorted(agg.items())
+    )
+    return f"""
+        SELECT kind, CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(n_refs AS BIGINT) AS n_refs,
+               CAST(max_offset AS INTEGER) AS max_offset
+        FROM (VALUES {rows}) AS t(kind, n_spans, n_refs, max_offset)
+    """
+
+
+def _media_features_sql() -> str:
+    """Pure-Python twin of q_media_features_stub as VALUES.  feat_norm is
+    an exact multiple of 1e-4, so the sum is accumulated as an integer and
+    rendered with exact decimals."""
+    from web_crawler_spark.corpus import CorpusParams, doc_spans
+    from web_crawler_spark.functions.xxh64 import pmod, xxhash64_str
+
+    params = CorpusParams(n_docs=MEDIA_DEMO_DOCS)
+    agg: dict[str, list[int]] = {}  # kind -> [n, sum_feat_1e4, max_bytes]
+    for i in range(params.n_docs):
+        for s in doc_spans(i, params):
+            if s["kind"] == "text":
+                continue
+            h = xxhash64_str(s["media_ref"])
+            stub_bytes = 1024 + pmod(h, 64 * 1024)
+            feat_1e4 = pmod(h >> 7, 10_000)
+            a = agg.setdefault(s["kind"], [0, 0, 0])
+            a[0] += 1
+            a[1] += feat_1e4
+            a[2] = max(a[2], stub_bytes)
+    rows = ",".join(
+        f"({_sql_quote(k)}, {v[0]}, CAST({v[1] // 10000}.{v[1] % 10000:04d} AS DOUBLE), {v[2]})"
+        for k, v in sorted(agg.items())
+    )
+    return f"""
+        SELECT kind, CAST(n_media AS BIGINT) AS n_media, sum_feat_norm,
+               CAST(max_stub_bytes AS INTEGER) AS max_stub_bytes
+        FROM (VALUES {rows}) AS t(kind, n_media, sum_feat_norm, max_stub_bytes)
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -518,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "crawl_bfs_demo": q_crawl_bfs_demo,
         "media_span_stats": q_media_span_stats,
         "media_features_stub": q_media_features_stub,
@@ -738,18 +1076,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM s GROUP BY 1, 2
         """,
-        "jaccard_pairs": """
+        "jaccard_pairs": f"""
             WITH words AS (
               SELECT doc_id,
                      CASE WHEN len(trim(text))=0 THEN []
                           ELSE string_split_regex(trim(text), '\\s+') END AS w
               FROM documents),
-            sh AS (
+            sh_all AS (
               SELECT DISTINCT doc_id, unnest(list_transform(
                        generate_series(1, greatest(len(w)-2, 0)),
                        i -> array_to_string(list_slice(w, i, i+2), ' ')
                      )) AS shingle
               FROM words WHERE len(w) >= 3),
+            keep AS (
+              SELECT shingle FROM sh_all GROUP BY shingle
+              HAVING count(*) <= {JACCARD_MAX_DF}),
+            sh AS (SELECT sh_all.* FROM sh_all JOIN keep USING (shingle)),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -791,7 +1133,13 @@ def oracle_sql() -> dict[str, str]:
                    round(max(cosine), 6) AS max_cosine
             FROM pairs
         """,
-        # crawl_bfs_demo / media_span_stats / media_features_stub: rows-only
-        # (engine + interleaved corpus are not SQL-expressible over the
-        # driver's flat tables; their gate is tests/test_engine_parity.py)
+        # generated oracles (pure-Python generation, deterministic):
+        "simhash_near_dup": _simhash_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_near_dup_lsh": _near_dup_lsh_sql(),
+        # the engine itself, gated against the sequential Python oracle's
+        # output (embedded VALUES) — in addition to the pytest parity suite
+        "crawl_bfs_demo": _crawl_demo_sql(),
+        "media_span_stats": _media_span_stats_sql(),
+        "media_features_stub": _media_features_sql(),
     }

@@ -34,6 +34,12 @@ DEPTH = int(os.environ.get("SPARK_GRAFT_DEPTH", "7"))
 # constant across parallelism levels: the scaling experiment varies ONLY
 # the core count, keeping plan + task granularity identical
 SHUFFLE = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
+# stage-level profiling: set to a directory to enable the Spark event log
+EVENTLOG = os.environ.get("SPARK_GRAFT_EVENTLOG", "")
+# shuffle/spill scratch space; ephemeral by definition, so a RAM-backed
+# dir is legitimate on this box (the durable store + corpus stay on disk)
+LOCAL_DIR = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "")
+SKIP_QUERIES = os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "") == "1"
 
 BENCH_QUERIES = [
     "progress_counts",
@@ -57,7 +63,7 @@ def main() -> None:
     from web_crawler_spark.engine import CrawlEngine
     from web_crawler_spark.store import SnapshotStore
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("web_crawler_spark-bench")
         .config("spark.sql.shuffle.partitions", str(SHUFFLE))
@@ -66,8 +72,16 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    if EVENTLOG:
+        Path(EVENTLOG).mkdir(parents=True, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", f"file://{EVENTLOG}"
+        )
+    if LOCAL_DIR:
+        Path(LOCAL_DIR).mkdir(parents=True, exist_ok=True)
+        builder = builder.config("spark.local.dir", LOCAL_DIR)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     # ---- crawl-engine headline: synthetic corpus, multi-wave BFS ----
@@ -130,7 +144,7 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     qs = entry_mod.queries()
     qtimes: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES if not SKIP_QUERIES else []:
         t = time.time()
         qs[name](spark, SF_DIR).collect()
         qtimes[name] = round(time.time() - t, 3)

@@ -2,23 +2,9 @@
 
 from __future__ import annotations
 
-from web_crawler_spark.config import CrawlConfig
-from web_crawler_spark.functions.urls import normalize_url_py
+from web_crawler_spark.corpus import good_seeds  # noqa: F401 — re-export
 from web_crawler_spark.oracle import OracleResult
-from web_crawler_spark.sources.simulators import dns_py, fetch_outcome_py
 from web_crawler_spark.store import SnapshotStore
-
-
-def good_seeds(corpus, cfg: CrawlConfig, limit: int = 10) -> list[str]:
-    """doc_ids whose root admission (single fetch + DNS) succeeds."""
-    out = []
-    for did in corpus:
-        name, _ = normalize_url_py(did)
-        if dns_py(name, cfg)[0] and fetch_outcome_py(did, True, 0, cfg)[0]:
-            out.append(did)
-            if len(out) == limit:
-                break
-    return out
 
 
 def engine_state(spark, store: SnapshotStore, crawl_id: str):

@@ -49,6 +49,31 @@ def test_empty_seen_set(spark):
     assert not any(r.maybe_seen for r in rows)
 
 
+def test_adaptive_sizing_no_false_negatives(spark):
+    """n_seen-adaptive bitmaps (self-describing m_bits) keep the
+    no-false-negative property and a bounded FPP at their design load."""
+    n = 50_000
+    members = [xxhash64_str(f"m{i}") for i in range(n)]
+    others = [xxhash64_str(f"o{i}") for i in range(n)]
+    seen = spark.createDataFrame([(h,) for h in members], "url_hash long")
+    small = build_bloom_bitmaps(seen, CFG, n_seen=n)
+    static = build_bloom_bitmaps(seen, CFG)
+    # adaptive sizing actually changed the bitmap size vs the static guess
+    assert len(next(iter(small.values()))) != len(next(iter(static.values())))
+    bcast = spark.sparkContext.broadcast(small)
+    cand = spark.createDataFrame(
+        [(h, "m") for h in members] + [(h, "o") for h in others],
+        "child_hash long, kind string",
+    )
+    flagged = {
+        (r.child_hash, r.kind): r.maybe_seen
+        for r in bloom_maybe_seen(cand, bcast, CFG).collect()
+    }
+    assert all(flagged[(h, "m")] for h in members)
+    fp = sum(1 for h in others if flagged[(h, "o")])
+    assert fp / n < 0.01, f"FPP too high: {fp / n}"
+
+
 def test_probe_positions_distinct():
     """Double-hashing probes must not collapse onto one position."""
     from web_crawler_spark.operators.dedup import _probe_positions
@@ -68,7 +93,9 @@ def test_bloom_path_equals_plain_join_path(spark, tmp_path, depth):
     seed = good_seeds(corpus, CFG)[0]
     states = {}
     for label, cfg in {
-        "bloom": CrawlConfig(use_bloom_prefilter=True),
+        # bloom_min_seen=0 forces the prefilter on despite the tiny corpus
+        # (the engine otherwise skips it below the threshold)
+        "bloom": CrawlConfig(use_bloom_prefilter=True, bloom_min_seen=0),
         "plain": CrawlConfig(use_bloom_prefilter=False),
     }.items():
         store = SnapshotStore(tmp_path / label)

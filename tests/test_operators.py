@@ -74,6 +74,40 @@ def test_jaccard_exact_values(spark):
     assert pairs == {("d1", "d2"): (2, 0.5)}
 
 
+def test_jaccard_hot_shingle_cap(spark):
+    """Axis-B skew guard: a boilerplate shingle shared by every doc is
+    dropped by max_df, killing the quadratic bucket; genuinely-similar
+    pairs (sharing non-hot shingles) survive with capped-space jaccard."""
+    boiler = "copyright footer text"
+    rows = [("n1", f"x y z w v {boiler}"), ("n2", f"x y z w u {boiler}")] + [
+        (f"b{i}", f"{boiler} unique{i} a{i} b{i} c{i}") for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    # uncapped: the boilerplate shingles pair everything with everything
+    uncapped = jaccard_pairs(df, "doc_id", "text", n=3, min_jaccard=0.01).collect()
+    assert len(uncapped) == 45  # all C(10,2) pairs share 'copyright footer text'
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            df, "doc_id", "text", n=3, min_jaccard=0.01, max_df=5
+        ).collect()
+    }
+    # only the genuinely-similar pair survives (shares 'x y z' / 'y z w')
+    assert set(capped) == {("n1", "n2")}
+    # jaccard over the capped shingle space: docs keep their non-hot
+    # shingles only
+    assert capped[("n1", "n2")] > 0.2
+
+
+def test_simhash_bucket_cap_bounds_pairs(spark, sim_docs):
+    sigs = simhash_signatures(sim_docs, "doc_id", "text")
+    uncapped = simhash_candidate_pairs(sigs, "doc_id", max_hamming=64).count()
+    capped = simhash_candidate_pairs(
+        sigs, "doc_id", max_hamming=64, bucket_cap=1
+    ).count()
+    assert capped == 0 < uncapped  # cap=1 => no bucket can form a pair
+
+
 # ---------------------------------------------------------------------------
 # ANN: brute force vs LSH recall
 # ---------------------------------------------------------------------------
@@ -87,22 +121,23 @@ def test_ann_lsh_recall(spark):
     )
     exact = brute_force_topk(e, q, k=5).collect()
     # random (structure-free) embeddings are the worst case for LSH —
-    # short signatures + several tables keep recall useful
-    approx = lsh_topk(e, q, k=5, n_planes=3, n_tables=6).collect()
+    # short signatures + several tables keep recall high: the entry's
+    # tuned (3 planes, 10 tables) measured 0.96 recall@5 on this data
+    from __spark_entry__ import ANN_LSH
+
+    approx = lsh_topk(e, q, **ANN_LSH).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     approx_sets = {}
     for r in approx:
         approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
-    # LSH is approximate: assert it returns *some* true neighbors and all
-    # cosines it reports agree with the exact computation
     hits = sum(
         len(exact_sets[qid] & approx_sets.get(qid, set())) for qid in exact_sets
     )
     total = sum(len(s) for s in exact_sets.values())
     recall = hits / total
-    assert recall >= 0.5, f"LSH recall too low: {recall}"  # 0.76 measured
+    assert recall >= 0.9, f"LSH recall too low: {recall}"  # 0.96 measured
     exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_cos:
@@ -147,7 +182,11 @@ def test_streaming_progress_matches_batch(spark, tmp_path):
     )
     from web_crawler_spark.engine import CrawlEngine
     from web_crawler_spark.store import SnapshotStore
-    from web_crawler_spark.streaming.progress import progress_updates, tail_progress
+    from web_crawler_spark.streaming.progress import (
+        COMMIT_SCHEMA,
+        progress_updates,
+        tail_progress,
+    )
 
     cfg = CrawlConfig()
     corpus = build_corpus_py(CorpusParams(n_docs=60))
@@ -160,9 +199,23 @@ def test_streaming_progress_matches_batch(spark, tmp_path):
 
     tail_progress(spark, store, table_name="t_progress")
     stream_rows = {r.crawl_id: r.asDict() for r in spark.table("t_progress").collect()}
+    # batch twin of the commit-marker stream (same files, batch read)
+    batch_commits = spark.read.schema(COMMIT_SCHEMA).json(
+        str(store.root / "crawls" / "*" / "wave_*" / "commit.json")
+    )
     batch_rows = {
-        r.crawl_id: r.asDict()
-        for r in progress_updates(store.metrics(spark, cid)).collect()
+        r.crawl_id: r.asDict() for r in progress_updates(batch_commits).collect()
     }
     assert stream_rows == batch_rows
     assert stream_rows[cid]["urls_fetched"] > 0
+    # and the marker totals agree with the metrics table's wave totals
+    from pyspark.sql import functions as F2
+
+    m = (
+        store.metrics(spark, cid)
+        .filter(F2.col("partition_id") == -1)
+        .agg(F2.sum("fetched").alias("f"), F2.sum("children").alias("c"))
+        .first()
+    )
+    assert stream_rows[cid]["urls_fetched"] == m["f"]
+    assert stream_rows[cid]["urls_discovered"] == m["c"]

@@ -83,7 +83,9 @@ def test_retry_state_machine(corpus):
             has_doc = k in corpus
             if n.depth < 4:  # fetched at least once
                 if not has_doc:
-                    assert n.status == FAILED and n.attempts == 0  # 404 path
+                    # 404 path: attempts incremented before the permanent-
+                    # failure classification (feeder/src/job.rs:107-131)
+                    assert n.status == FAILED and n.attempts == 1
                     found_dead = True
                 elif fail_n >= CFG.max_attempts:
                     assert n.status == FAILED and n.attempts == CFG.max_attempts

@@ -80,9 +80,23 @@ def test_graph_data(spark, crawled):
     store, oracles = crawled
     for cid, o in oracles.items():
         g = graph_data(spark, store, cid)
+        assert g["truncated"] is False
         url_nodes = {n["id"] for n in g["nodes"] if n["label"] == "URL"}
         assert url_nodes == set(o.nodes)
         assert len([n for n in g["nodes"] if n["label"] == "ROOT"]) == 1
         assert {(e["source"], e["target"]) for e in g["edges"]} == {
             (s, d) for s, d, _ in o.edges
         }
+
+
+def test_graph_data_truncates_deterministically(spark, crawled):
+    """Driver-OOM guard: caps apply in (depth, id) order and report
+    truncation instead of collecting the whole graph."""
+    store, oracles = crawled
+    cid, o = next(iter(oracles.items()))
+    g = graph_data(spark, store, cid, max_nodes=3, max_edges=2)
+    assert g["truncated"] is True
+    assert len(g["nodes"]) == 4 and len(g["edges"]) == 2  # ROOT + 3
+    expected = sorted(((n.depth, k) for k, n in o.nodes.items()))[:3]
+    got = [(n["depth"], n["id"]) for n in g["nodes"][1:]]
+    assert got == expected

@@ -9,13 +9,16 @@ DataFrame job committed as one atomic table snapshot.
 
 Layout:
     functions/   column-expression libraries (URL canonicalization, link
-                 extraction, DNS-candidate generation, text analysis, hashing)
-    sources/     deterministic corpus generator, fetch/DNS simulators,
-                 snapshot-versioned table store (Iceberg stand-in)
-    operators/   wave dedup (bloom prefilter + exact anti-join), politeness,
-                 corpus-scale dedup (minhash/simhash/...), ANN similarity
-    plans/       the wave-loop crawl engine + read-side analytics queries
-    streaming/   per-wave metrics lineage
+                 extraction, DNS-candidate generation, hashing)
+    sources/     fetch/DNS simulators
+    operators/   wave dedup (bloom prefilter + exact anti-join), text
+                 near-dup (minhash/simhash/jaccard), ANN similarity, media
+    streaming/   wave-commit progress tailer (exactly-once markers)
+    engine.py    the wave-loop crawl engine (level-synchronous BFS)
+    store.py     snapshot-versioned table store (Iceberg stand-in)
+    queries.py   read-side analytics (the reference's GET endpoints)
+    corpus.py    deterministic interleaved-docs corpus generator
+    oracle.py    sequential reference oracle (the executable spec)
 """
 
 __version__ = "0.1.0"

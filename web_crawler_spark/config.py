@@ -38,6 +38,9 @@ class CrawlConfig:
     bloom_bits_per_key: int = 16      # ~0.04% FPP with 2 probes
     bloom_num_probes: int = 2
     dedup_buckets: int = 32           # co-partition bucket count for anti-joins
+    # below this seen-set size the bloom build job cannot pay for itself
+    # (the exact join is cheap and the build is a fixed per-wave job)
+    bloom_min_seen: int = 100_000
 
     # snapshot store
     compact_every_waves: int = 8

@@ -168,6 +168,23 @@ def build_corpus_py(params: CorpusParams) -> dict[str, list[dict]]:
     return {doc_id_for(i, params): doc_spans(i, params) for i in range(params.n_docs)}
 
 
+def good_seeds(corpus: dict, cfg, limit: int = 10) -> list[str]:
+    """doc_ids whose root admission (single fetch + DNS) succeeds —
+    deterministic seed selection for demos/tests/benches (driver-side,
+    pure Python: mirrors the manager's root admission path)."""
+    from .functions.urls import normalize_url_py  # noqa: PLC0415 — cycle guard
+    from .sources.simulators import dns_py, fetch_outcome_py  # noqa: PLC0415
+
+    out = []
+    for did in corpus:
+        name, _ = normalize_url_py(did)
+        if dns_py(name, cfg)[0] and fetch_outcome_py(did, True, 0, cfg)[0]:
+            out.append(did)
+            if len(out) == limit:
+                break
+    return out
+
+
 DOCUMENTS_SCHEMA = (
     "doc_id string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"

@@ -192,6 +192,7 @@ class CrawlEngine:
 
         waves_done = 0
         frontier: DataFrame | None = None
+        n_seen = n_pending = 0
         try:
             while True:
                 meta = self.store.read_crawl_meta(crawl_id)
@@ -208,22 +209,26 @@ class CrawlEngine:
                 # with each wave's own deltas — per-wave I/O stays O(wave),
                 # not O(crawl) (the in-memory twin of Iceberg merge-on-read)
                 if frontier is None:
-                    frontier = self.store.frontier(self.spark, crawl_id).persist()
-                eligible, n_pending = self._eligible(frontier)
+                    frontier, n_seen, n_pending = self._materialize_frontier(
+                        self.store.frontier(self.spark, crawl_id)
+                    )
                 if n_pending == 0:
                     meta["status"] = "completed"
                     self.store.write_crawl_meta(meta)
                     return meta
-                self._run_wave(crawl_id, wave, eligible, seen=frontier, is_root=False)
+                eligible = self._eligible(frontier, n_pending)
+                self._run_wave(
+                    crawl_id, wave, eligible, seen=frontier, is_root=False,
+                    n_seen=n_seen,
+                )
                 merged = self._merge_wave(frontier, crawl_id, wave)
-                if wave % self.cfg.compact_every_waves == 0:
-                    # truncate the join/union lineage chain every few waves
-                    # (driver-side plan growth); content is identical and
-                    # already deterministic, so checkpointing is safe
-                    merged = merged.localCheckpoint(eager=True)
-                else:
-                    merged = merged.persist()
-                    merged.count()  # materialize before releasing the parent
+                # one materialization job per wave carries the seen-set and
+                # pending counts as observed metrics — the standalone
+                # pending.count() job of round 1 is folded away
+                merged, n_seen, n_pending = self._materialize_frontier(
+                    merged,
+                    checkpoint=(wave % self.cfg.compact_every_waves == 0),
+                )
                 frontier.unpersist()
                 frontier = merged
                 wave += 1
@@ -238,7 +243,37 @@ class CrawlEngine:
     def _doc_exists(self, full_key: str) -> bool:
         return not self.documents.filter(F.col("doc_id") == full_key).isEmpty()
 
-    def _eligible(self, frontier: DataFrame) -> tuple[DataFrame, int]:
+    def _materialize_frontier(
+        self, df: DataFrame, checkpoint: bool = False
+    ) -> tuple[DataFrame, int, int]:
+        """Materialize the folded frontier and return (df, n_rows,
+        n_pending) from ONE job: the counts ride the cache-fill action as
+        observed metrics (checkpoint waves pay one cheap agg over the
+        already-materialized rows instead — localCheckpoint does not
+        surface observed metrics reliably)."""
+        if checkpoint:
+            # truncate the join/union lineage chain every few waves
+            # (driver-side plan growth); content is identical and
+            # already deterministic, so checkpointing is safe
+            df = df.localCheckpoint(eager=True)
+            row = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("status") == PENDING, 1).otherwise(0)).alias(
+                    "n_pending"
+                ),
+            ).first()
+            return df, int(row["n_rows"]), int(row["n_pending"] or 0)
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.sum(F.when(F.col("status") == PENDING, 1).otherwise(0)).alias(
+                "n_pending"
+            ),
+        ).persist()
+        n_rows = df.count()
+        return df, n_rows, int(obs.get["n_pending"] or 0)
+
+    def _eligible(self, frontier: DataFrame, n_pending: int) -> DataFrame:
         """PENDING rows, capped per host by the politeness budget (W1).
 
         Exact top-B per host in sorted full-key order, computed skew-safely
@@ -246,10 +281,9 @@ class CrawlEngine:
         single window partition; (2) exact top-B over the ≤ S*B survivors.
         """
         pending = frontier.filter(F.col("status") == PENDING)
-        n_pending = pending.count()
         budget = self.cfg.host_budget_per_wave
         if budget is None or n_pending == 0:
-            return pending, n_pending
+            return pending
         host = _host_col(F.col("name"))
         salt = F.pmod(F.col("url_hash"), F.lit(self.cfg.politeness_salt))
         w1 = Window.partitionBy("crawl_id", "host", "salt").orderBy("full_key")
@@ -263,7 +297,7 @@ class CrawlEngine:
             .filter(F.col("_grn") <= budget)
             .drop("host", "salt", "_lrn", "_grn")
         )
-        return eligible, n_pending
+        return eligible
 
     def _run_wave(
         self,
@@ -272,6 +306,7 @@ class CrawlEngine:
         parents: DataFrame,
         seen: DataFrame | None,
         is_root: bool,
+        n_seen: int | None = None,
     ) -> WaveResult:
         t0 = time.time()
         cfg = self.cfg
@@ -321,23 +356,34 @@ class CrawlEngine:
         )
 
         # ---- canonicalize (P2/P4) + per-parent local distinct (P3/A5) ----
+        # shuffle-width discipline: only (crawl_id, parent_key, child_full)
+        # are grouping keys; everything derivable from child_full
+        # (hash, scheme, name) is recomputed AFTER the aggregation on the
+        # collapsed rows, and the per-parent constants ride as cheap MIN
+        # aggregates instead of widening the key tuple.
         c_name, c_http = normalize_cols(F.col("raw"))
-        canon = links.withColumn("child_name", c_name).withColumn(
-            "child_http", c_http
-        ).withColumn(
-            "child_full", F.concat(F.col("child_http"), F.col("child_name"))
-        ).withColumn("child_hash", F.xxhash64("child_full"))
-        local = canon.groupBy(
-            "crawl_id",
-            "parent_key",
-            "parent_depth",
-            "requested_depth",
-            "latency_ms",
-            "child_full",
-            "child_name",
-            "child_http",
-            "child_hash",
-        ).agg(F.min("pos").alias("pos"), F.count("*").alias("n_raw"))
+        canon = links.withColumn("child_full", F.concat(c_http, c_name))
+        local = (
+            canon.groupBy("crawl_id", "parent_key", "child_full")
+            .agg(
+                F.min("pos").alias("pos"),
+                F.count("*").alias("n_raw"),
+                F.min("parent_depth").alias("parent_depth"),
+                F.min("requested_depth").alias("requested_depth"),
+                F.min("latency_ms").alias("latency_ms"),
+            )
+            .withColumn("child_hash", F.xxhash64("child_full"))
+            .withColumn(
+                "child_http",
+                F.when(
+                    F.col("child_full").startswith("HTTPS://"), F.lit("HTTPS://")
+                ).otherwise(F.lit("HTTP://")),
+            )
+            .withColumn(
+                "child_name",
+                F.regexp_replace(F.col("child_full"), "^HTTPS?://", ""),
+            )
+        )
 
         # ---- seen-set dedup (J1): bloom stage 1 + exact stage 2 ----
         # expressed as a left join + is_fresh flag (not left_anti) so the
@@ -347,6 +393,13 @@ class CrawlEngine:
         # of a given child share is_fresh, so downstream windows per child
         # are never mixed.
         to_unpersist: list[DataFrame] = []
+        bcast = None
+        # below cfg.bloom_min_seen the bloom-build job costs more than the
+        # exact join it would trim (round-1 lever #2); unknown n_seen
+        # (direct _run_wave callers) keeps the prefilter on
+        use_bloom = cfg.use_bloom_prefilter and (
+            n_seen is None or n_seen >= cfg.bloom_min_seen
+        )
         if seen is not None:
             seen_keys = seen.select(
                 "crawl_id",
@@ -354,14 +407,14 @@ class CrawlEngine:
                 F.col("full_key").alias("child_full"),
                 F.lit(True).alias("_seen"),
             )
-            if cfg.use_bloom_prefilter:
+            if use_bloom:
                 # stage 1: partition-local bloom verdict (no false
                 # negatives) — certainly-fresh candidates skip the exact
                 # join shuffle entirely.  Narrow scalar UDF: only the
                 # hash column crosses the Arrow boundary (dedup.py).
                 from .operators.dedup import bloom_maybe_seen_udf, build_bloom_bitmaps
 
-                bitmaps = build_bloom_bitmaps(seen, cfg)
+                bitmaps = build_bloom_bitmaps(seen, cfg, n_seen=n_seen)
                 bcast = self.spark.sparkContext.broadcast(bitmaps)
                 flagged = local.withColumn(
                     "maybe_seen",
@@ -461,9 +514,12 @@ class CrawlEngine:
                     F.when(f & F.col("admitted") & (F.col("rn") == 1), 1).otherwise(0)
                 ).alias("n_wins"),
             )
+            # attempts increments on EVERY fetch error including 4xx: the
+            # reference's validate_job bumps attempts before classifying
+            # the error (feeder/src/job.rs:107-131), so a first-attempt 404
+            # ends FAILED with attempts=1
             new_attempts = F.when(
-                ~F.col("fetch_ok") & (F.col("sim_status") == 0),
-                F.col("attempts") + 1,
+                ~F.col("fetch_ok"), F.col("attempts") + 1
             ).otherwise(F.col("attempts"))
             status_expr = (
                 F.when(F.col("sim_status") == 404, F.lit(FAILED))  # 4xx permanent
@@ -541,10 +597,22 @@ class CrawlEngine:
         n_children = sum(int(r["children"]) for r in part_rows)
 
         # ---- commit the snapshot (S3): deltas then marker ----
-        self.store.write_delta(children, crawl_id, wave, "inserts")
-        self.store.write_delta(edges, crawl_id, wave, "edges")
+        # the three delta writes all read from the cached `cand`/`outcomes`
+        # DataFrames (filled by the metrics pass above), so they are
+        # submitted concurrently — three small coalesced jobs overlapping
+        # instead of three sequential job barriers (round-1 lever #1)
+        from concurrent.futures import ThreadPoolExecutor
+
+        write_jobs = [(children, "inserts"), (edges, "edges")]
         if updates is not None:
-            self.store.write_delta(updates, crawl_id, wave, "updates")
+            write_jobs.append((updates, "updates"))
+        with ThreadPoolExecutor(max_workers=len(write_jobs)) as pool:
+            futures = [
+                pool.submit(self.store.write_delta, df, crawl_id, wave, kind)
+                for df, kind in write_jobs
+            ]
+            for fut in futures:
+                fut.result()
 
         if upd_obs is not None:
             og = upd_obs.get
@@ -591,6 +659,10 @@ class CrawlEngine:
         cand.unpersist()
         for df in to_unpersist:
             df.unpersist()
+        if bcast is not None:
+            # several-MB bitmap broadcast per wave: release it now or a
+            # deep crawl accumulates broadcast blocks for the session
+            bcast.destroy()
         return result
 
     def _merge_wave(

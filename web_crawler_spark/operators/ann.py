@@ -6,16 +6,23 @@ Two strategies, both DataFrame-native:
   scan side stays distributed.  The correctness baseline and the right
   plan whenever |queries| is small (the 100 TB side is scanned once, no
   shuffle).
-* ``lsh_topk`` — random-hyperplane LSH: ``n_tables`` independent sign
-  signatures of ``n_planes`` bits each; a vector is compared only with
-  vectors sharing a (table, signature) bucket.  Hyperplanes are
-  deterministic (seeded numpy) and inlined as column literals, so the
-  whole scoring path is JVM expressions — no UDF.  Recall/cost trades
-  off via (n_planes, n_tables); the bucket join shuffles only
-  (signature, vector) pairs instead of the full cross product.
+* ``lsh_topk`` — random-sign-projection LSH: ``n_tables`` independent
+  sign signatures of ``n_planes`` bits each; a vector is compared only
+  with vectors sharing a (table, signature) bucket.  Planes are seeded
+  ±1 (Rademacher) weights inlined as column literals and the vectors are
+  quantized to integers first, so every signature bit is an *exact
+  integer* comparison — bit-reproducible in any engine (this is what
+  makes the DuckDB correctness oracle possible; Gaussian planes with
+  float dot products are summation-order-sensitive near zero).  Sign
+  projections with ±1 weights have the same locality-sensitive collision
+  law as Gaussian ones (P[bit match] = 1 - angle/pi, asymptotically).
+  Recall/cost trades off via (n_planes, n_tables); the bucket join
+  shuffles only (signature, vector) pairs instead of the full cross
+  product.
 
-Skew note (axis B): near-duplicate-heavy corpora pile into few buckets;
-cap per-bucket candidates with a row_number window if needed (same
+Skew handling (axis B): ``bucket_cap`` bounds candidates per (table,
+signature) bucket with a deterministic row_number window — near-dup-heavy
+corpora pile into few buckets and would otherwise go quadratic (same
 salted-window pattern as the crawl politeness queue).
 """
 
@@ -24,6 +31,9 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# embedding quantization step: 1e-6 resolution, exact int64 arithmetic
+QUANT = 1_000_000
 
 
 def cosine_col(a: F.Column, b: F.Column) -> F.Column:
@@ -47,18 +57,31 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
+def hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    """Seeded ±1 sign-projection planes, shape (n_tables, n_planes, dim).
+    Public so the DuckDB oracle SQL embeds the exact same literals."""
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_tables, n_planes, dim))
+    return rng.choice(
+        np.array([-1, 1], dtype=np.int64), size=(n_tables, n_planes, dim)
+    )
 
 
-def _signature_col(v: F.Column, planes: np.ndarray) -> F.Column:
-    """Sign-bit signature of one LSH table as a bit string column."""
+def quantize_col(v: F.Column) -> F.Column:
+    """array<double> -> array<long> at 1e-6 resolution (round half away
+    from zero in both Spark and DuckDB)."""
+    return F.transform(v, lambda x: F.round(x * QUANT, 0).cast("long"))
+
+
+def signature_col(qv: F.Column, planes: np.ndarray) -> F.Column:
+    """Sign-bit signature of one LSH table over a *quantized* vector:
+    each bit is sign(sum of ±qv[i]) — exact int64 arithmetic."""
     bits = []
     for p in planes:
-        w = F.array(*[F.lit(float(x)) for x in p])
+        w = F.array(*[F.lit(int(x)) for x in p])
         dot = F.aggregate(
-            F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+            F.zip_with(qv, w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
         )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
@@ -72,34 +95,44 @@ def lsh_topk(
     n_planes: int = 6,
     n_tables: int = 3,
     seed: int = 42,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only within shared LSH buckets.
 
     vectors(vec_id, v), queries(query_id, qv) — qv must be the same dim.
     Union of n_tables bucket joins, deduped per (query, neighbor), then
-    exact cosine ranking of the surviving candidates.
+    exact cosine ranking of the surviving candidates.  ``bucket_cap``
+    bounds each (table, signature) bucket to its first N vec_ids.
     """
-    planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    sigs = vectors.select(
+    planes = hyperplanes(dim, n_planes, n_tables, seed)
+    sigs = vectors.withColumn("_qv", quantize_col(F.col("v"))).select(
         "vec_id",
         "v",
         *[
-            _signature_col(F.col("v"), planes[t]).alias(f"sig{t}")
+            signature_col(F.col("_qv"), planes[t]).alias(f"sig{t}")
             for t in range(n_tables)
         ],
     )
-    qsigs = queries.select(
+    qsigs = queries.withColumn("_qv", quantize_col(F.col("qv"))).select(
         "query_id",
         "qv",
         *[
-            _signature_col(F.col("qv"), planes[t]).alias(f"qsig{t}")
+            signature_col(F.col("_qv"), planes[t]).alias(f"qsig{t}")
             for t in range(n_tables)
         ],
     )
     cands = None
     for t in range(n_tables):
+        side = sigs
+        if bucket_cap is not None:
+            w_cap = Window.partitionBy(f"sig{t}").orderBy("vec_id")
+            side = (
+                sigs.withColumn("_rn", F.row_number().over(w_cap))
+                .filter(F.col("_rn") <= bucket_cap)
+                .drop("_rn")
+            )
         c = qsigs.join(
-            sigs, F.col(f"qsig{t}") == F.col(f"sig{t}"), "inner"
+            side, F.col(f"qsig{t}") == F.col(f"sig{t}"), "inner"
         ).filter(F.col("vec_id") != F.col("query_id")).select(
             "query_id", "qv", "vec_id", "v"
         )

@@ -50,12 +50,31 @@ def _bucket_bits(cfg: CrawlConfig, expected_keys_per_bucket: int = 1 << 16) -> i
     return ((bits + _WORD_BITS - 1) // _WORD_BITS) * _WORD_BITS
 
 
+def bucket_bits_for(cfg: CrawlConfig, n_seen: int | None) -> int:
+    """Adaptive bitmap sizing: size each bucket for the *live* seen-set
+    count (with 50% headroom) instead of a static 2^16/bucket guess —
+    a static bitmap degrades toward FPP=1 once the frontier outgrows it,
+    turning the prefilter into pure overhead (round-1 finding)."""
+    if n_seen is None:
+        return _bucket_bits(cfg)
+    per_bucket = max(1 << 12, (n_seen * 3) // (2 * cfg.dedup_buckets))
+    return _bucket_bits(cfg, per_bucket)
+
+
 def _probe_positions(hashes: np.ndarray, n_probes: int, m_bits: int) -> list[np.ndarray]:
     """Double hashing over the already-xxhash64'd key: position_i =
-    (h1 + i*h2) mod m.  Vectorized over the whole batch."""
+    (h1 + i*h2) mod m.  Vectorized over the whole batch.
+
+    BOTH probe bases are murmur-style multiplicative mixes (xor-shift then
+    odd-constant multiply, wrapping mod 2^64) of the key.  Using the raw
+    hash as h1 is a trap: the bucket id is ``h % n_buckets`` and the
+    position is ``h % m_bits`` — with power-of-two sizes every key in a
+    bucket shares its low bits, shrinking the effective bitmap n_buckets-
+    fold (measured 10x the theoretical FPP)."""
     h = hashes.astype(np.uint64)
-    h1 = h
-    h2 = (h >> np.uint64(33)) | (h << np.uint64(31))  # cheap independent mix
+    with np.errstate(over="ignore"):
+        h1 = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h2 = (h ^ (h >> np.uint64(29))) * np.uint64(0xC4CEB9FE1A85EC53)
     h2 = h2 | np.uint64(1)  # odd => full-period stepping
     return [
         ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
@@ -77,16 +96,21 @@ def _test_bits(bitmap: np.ndarray, positions: np.ndarray) -> np.ndarray:
 
 
 def build_bloom_bitmaps(
-    seen: DataFrame, cfg: CrawlConfig, hash_col: str = "url_hash"
+    seen: DataFrame,
+    cfg: CrawlConfig,
+    hash_col: str = "url_hash",
+    n_seen: int | None = None,
 ) -> dict[int, bytes]:
     """Per-bucket bloom bitmaps of the seen set.
 
     One narrow job: mapInPandas emits (bucket, partial-bitmap) pairs —
     a map-side reduction; the driver ORs partials per bucket.  Nothing
-    about the frontier is shuffled.
+    about the frontier is shuffled.  Bitmaps are self-describing: the
+    test path derives m_bits from each bitmap's length, so adaptive
+    sizing (``n_seen``) needs no config round-trip.
     """
     n_buckets = cfg.dedup_buckets
-    m_bits = _bucket_bits(cfg)
+    m_bits = bucket_bits_for(cfg, n_seen)
     n_probes = cfg.bloom_num_probes
 
     def partial(batches):
@@ -125,9 +149,10 @@ def build_bloom_bitmaps(
 
 
 def _test_hashes(bitmaps: dict, h_signed: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
-    """Vectorized bloom membership verdict for an int64 hash array."""
+    """Vectorized bloom membership verdict for an int64 hash array.
+    m_bits is derived per bucket from the bitmap's own length, so it
+    always matches whatever sizing the build used."""
     n_buckets = cfg.dedup_buckets
-    m_bits = _bucket_bits(cfg)
     h = h_signed.astype(np.uint64)
     verdict = np.zeros(len(h), dtype=bool)
     buckets = (h % np.uint64(n_buckets)).astype(np.int64)
@@ -135,6 +160,7 @@ def _test_hashes(bitmaps: dict, h_signed: np.ndarray, cfg: CrawlConfig) -> np.nd
         bm = bitmaps.get(int(b))
         if bm is None:  # empty bucket => certainly fresh
             continue
+        m_bits = len(bm) * _WORD_BITS
         sel = buckets == b
         hits = np.ones(int(sel.sum()), dtype=bool)
         for pos in _probe_positions(h[sel], cfg.bloom_num_probes, m_bits):
@@ -179,7 +205,6 @@ def bloom_maybe_seen(
     Python.  Schema in == schema out + the flag column.
     """
     n_buckets = cfg.dedup_buckets
-    m_bits = _bucket_bits(cfg)
     n_probes = cfg.bloom_num_probes
     # fresh StructType — StructType.add would MUTATE cand's cached schema
     out_schema = T.StructType(
@@ -200,6 +225,7 @@ def bloom_maybe_seen(
                 sel = buckets == b
                 if bm is None:  # bucket empty => certainly fresh
                     continue
+                m_bits = len(bm) * _WORD_BITS
                 hits = np.ones(int(sel.sum()), dtype=bool)
                 for pos in _probe_positions(h[sel], n_probes, m_bits):
                     hits &= _test_bits(bm, pos)

@@ -51,16 +51,28 @@ def simhash_signatures(
     """Per-doc 64-bit SimHash as a bit string + LSH bands.
 
     SimHash: each token votes +1/-1 on every bit according to the bit
-    pattern of xxhash64(token); the signature bit is the vote sign.
+    pattern of the token's hash; the signature bit is the vote sign.
     Docs with no tokens get the all-zeros signature.
+
+    The token hash is the first 64 bits of md5 (hex nibbles decoded with
+    ``conv``) rather than ``xxhash64``: md5 is engine-portable, which
+    makes the whole operator reproducible in the DuckDB correctness
+    oracle (round-1 fix; bit i = nibble i//4 of the hex digest, within-
+    nibble bit i%4).  Still one hash aggregation, zero Python.
     """
     toks = df.select(id_col, F.explode_outer(tokens_col(F.col(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
+    md5h = F.md5("tok")
+    nibbles = [
+        F.conv(F.substring(md5h, d + 1, 1), 16, 10).cast("int") for d in range(16)
+    ]
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.col("tok").isNull(), 0).otherwise(
-                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                    F.when(
+                        F.shiftright(nibbles[i // 4], i % 4).bitwiseAND(F.lit(1)) == 1,
+                        1,
+                    ).otherwise(-1)
                 )
             ).alias(f"b{i}")
             for i in range(SIG_BITS)
@@ -99,7 +111,8 @@ def hamming_col(sig_a: F.Column, sig_b: F.Column) -> F.Column:
 
 
 def simhash_candidate_pairs(
-    sigs: DataFrame, id_col: str, max_hamming: int = 8
+    sigs: DataFrame, id_col: str, max_hamming: int = 8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Banded LSH self-join: pairs sharing >=1 band, with exact Hamming.
 
@@ -107,6 +120,13 @@ def simhash_candidate_pairs(
     each other share at least one of k+1 bands, so with n_bands=8 every
     pair at distance <=7 is found exactly; max_hamming<=n_bands-1 keeps
     the filter complete (no missed pairs).
+
+    ``bucket_cap`` bounds hot bands (axis B): at most ``bucket_cap`` docs
+    per (band_idx, band_bits) bucket enter the self-join, chosen in
+    sorted id order (deterministic) — a boilerplate-heavy corpus piles
+    thousands of docs into one band and would otherwise go quadratic.
+    Capping trades completeness for a hard bound on join fan-out; leave
+    None for exact semantics.
     """
     banded = sigs.select(
         F.col(id_col), F.col("sig"), F.explode("bands").alias("band")
@@ -115,6 +135,15 @@ def simhash_candidate_pairs(
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_bits").alias("band_bits"),
     )
+    if bucket_cap is not None:
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        w = Window.partitionBy("band_idx", "band_bits").orderBy(id_col)
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
         "band_idx", "band_bits",
@@ -140,12 +169,30 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     min_jaccard: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram-shingle Jaccard similarity join (set semantics)."""
+    """Exact n-gram-shingle Jaccard similarity join (set semantics).
+
+    ``max_df`` is the hot-shingle cap (axis B): shingles appearing in
+    more than ``max_df`` documents are dropped from the shingle space
+    *entirely* (both intersection and sizes), so one boilerplate shingle
+    shared by k docs can no longer produce k^2 join rows.  Semantics stay
+    well-defined and engine-portable: Jaccard over the capped shingle
+    space.  Standard practice in MinHash/shingle dedup pipelines; leave
+    None for the uncapped exact join.
+    """
     sh = (
         df.select(id_col, F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("sh"))
         .distinct()
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")

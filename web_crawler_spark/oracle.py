@@ -21,7 +21,10 @@ Reference state machine reproduced exactly:
 
 * fetch retry: transient failure => attempts+1, stays PENDING, retried in
   a later wave; attempts >= max_attempts(3) => FAILED; 4xx (here: no
-  document => 404) => FAILED immediately (feeder/src/job.rs:97-133).
+  document => 404) => FAILED immediately — with attempts incremented
+  first, exactly like validate_job (feeder/src/job.rs:97-133: every fetch
+  error bumps attempts before classification, so a first-attempt 404
+  stores attempts=1).
 * dedup-then-DNS: candidates surviving the seen-set anti-join are
   DNS-resolved; resolution failure silently drops the child; **nonempty
   candidate set with zero surviving children => parent FAILED**
@@ -252,7 +255,9 @@ class OracleCrawler:
                     parent_key, has_doc, node.attempts, self.cfg
                 )
                 if not ok:
-                    if status == 404:  # 4xx => permanent (job.rs:126-128)
+                    if status == 404:  # 4xx => permanent (job.rs:126-128);
+                        # attempts still increments first (job.rs:107-131)
+                        node.attempts += 1
                         node.status = FAILED
                         m["failed"] += 1
                     else:  # timeout (job.rs:97-124)

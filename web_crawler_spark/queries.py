@@ -47,7 +47,15 @@ def _derived_status_col() -> F.Column:
 
 
 def progress_agg(frontier: DataFrame) -> DataFrame:
-    """Per-crawl status counts + derived status (the J4 aggregation side)."""
+    """Per-crawl status counts + derived status (the J4 aggregation side).
+
+    Note on IN-PROGRESS: the reference exposes live in-progress counts
+    (docs/neo4j-graph-model.md:80-100) because feeders claim one job at a
+    time; the wave engine commits whole waves atomically, so a consistent
+    read NEVER observes IN-PROGRESS rows (PENDING -> terminal in one
+    snapshot).  The column is kept (always 0) for API parity; mid-wave
+    liveness is served by the streaming commit tailer instead
+    (streaming/progress.py)."""
     return (
         frontier.groupBy("crawl_id")
         .agg(F.count("*").alias("total_urls"), *_status_count_cols())
@@ -133,11 +141,43 @@ def crawl_stats(spark: SparkSession, store: SnapshotStore, crawl_id: str) -> dic
     return rows[0].asDict()
 
 
-def graph_data(spark: SparkSession, store: SnapshotStore, crawl_id: str) -> dict:
+def graph_dfs(
+    spark: SparkSession, store: SnapshotStore, crawl_id: str
+) -> tuple[DataFrame, DataFrame]:
+    """Scale-safe graph export: (nodes, edges) as DataFrames the caller
+    can write/stream/limit — the full graph never lands on the driver."""
+    nodes = store.frontier(spark, crawl_id).select(
+        F.col("full_key").alias("id"),
+        F.lit("URL").alias("label"),
+        "depth",
+        "status",
+    )
+    edges = store.edges(spark, crawl_id).select(
+        F.col("src").alias("source"), F.col("dst").alias("target")
+    )
+    return nodes, edges
+
+
+def graph_data(
+    spark: SparkSession,
+    store: SnapshotStore,
+    crawl_id: str,
+    max_nodes: int = 100_000,
+    max_edges: int = 100_000,
+) -> dict:
     """GET /crawls/:id/graph — ROOT + URL node projections and the edge
     list (graph_service.rs:8-110).  Node ids are the full http_type+name
-    keys, as the reference concatenates (graph_service.rs:31,61,91-92)."""
+    keys, as the reference concatenates (graph_service.rs:31,61,91-92).
+
+    The reference collects the whole graph into one JSON response too,
+    but at 100x scale that is a driver OOM — this dict API caps the
+    collect (deterministic order: BFS depth, then key) and reports
+    truncation; use ``graph_dfs`` for the unbounded DataFrame form."""
     meta = store.read_crawl_meta(crawl_id)  # W3 existence check analogue
+    node_df, edge_df = graph_dfs(spark, store, crawl_id)
+    node_rows = node_df.orderBy("depth", "id").limit(max_nodes + 1).collect()
+    edge_rows = edge_df.orderBy("source", "target").limit(max_edges + 1).collect()
+    truncated = len(node_rows) > max_nodes or len(edge_rows) > max_edges
     nodes = [
         {
             "id": meta["seed_key"],
@@ -145,14 +185,11 @@ def graph_data(spark: SparkSession, store: SnapshotStore, crawl_id: str) -> dict
             "depth": 0,
             "status": meta["status"],
         }
-    ] + [
-        {"id": r.full_key, "label": "URL", "depth": r.depth, "status": r.status}
-        for r in store.frontier(spark, crawl_id)
-        .select("full_key", "depth", "status")
-        .collect()
-    ]
-    edges = [
-        {"source": r.src, "target": r.dst}
-        for r in store.edges(spark, crawl_id).select("src", "dst").collect()
-    ]
-    return {"crawl_id": crawl_id, "nodes": nodes, "edges": edges}
+    ] + [r.asDict() for r in node_rows[:max_nodes]]
+    edges = [r.asDict() for r in edge_rows[:max_edges]]
+    return {
+        "crawl_id": crawl_id,
+        "nodes": nodes,
+        "edges": edges,
+        "truncated": truncated,
+    }

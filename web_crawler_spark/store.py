@@ -146,10 +146,25 @@ class SnapshotStore:
         return dropped
 
     def commit_wave(self, crawl_id: str, wave: int, summary: dict) -> None:
-        marker = self.wave_dir(crawl_id, wave) / "_COMMITTED"
-        tmp = marker.with_suffix(".tmp")
-        tmp.write_text(json.dumps({"ts": time.time(), **summary}))
-        tmp.replace(marker)
+        """Atomic commit marker; carries the wave summary (incl. crawl_id
+        and wave so the marker doubles as an exactly-once progress record
+        for the streaming tailer — markers are written once via rename and
+        never rewritten, unlike the parquet part files a crashed wave
+        re-run regenerates under fresh names)."""
+        payload = json.dumps(
+            {"ts": time.time(), "crawl_id": crawl_id, "wave": wave, **summary}
+        )
+        # commit.json first (underscore-prefixed files are hidden from
+        # Spark file sources), then the _COMMITTED marker readers key on.
+        # A crash between the two renames leaves an uncommitted dir that
+        # clean_uncommitted removes and the deterministic re-run rewrites
+        # byte-identically at the same path — the stream never sees a
+        # record for a wave whose content could change.
+        for name in ("commit.json", "_COMMITTED"):
+            target = self.wave_dir(crawl_id, wave) / name
+            tmp = target.with_suffix(".tmp")
+            tmp.write_text(payload)
+            tmp.replace(target)
 
     def wave_summary(self, crawl_id: str, wave: int) -> dict:
         return json.loads((self.wave_dir(crawl_id, wave) / "_COMMITTED").read_text())
@@ -167,14 +182,17 @@ class SnapshotStore:
         df.coalesce(files).write.mode("overwrite").parquet(str(path))
 
     # ---- readers (see only committed waves) ----
-    def _read_kind(
-        self, spark: SparkSession, crawl_id: str, kind: str, schema: T.StructType
-    ) -> DataFrame:
-        paths = [
+    def _kind_paths(self, crawl_id: str, kind: str) -> list[str]:
+        return [
             str(self.wave_dir(crawl_id, w) / f"{kind}.parquet")
             for w in self.committed_waves(crawl_id)
             if (self.wave_dir(crawl_id, w) / f"{kind}.parquet").exists()
         ]
+
+    def _read_kind(
+        self, spark: SparkSession, crawl_id: str, kind: str, schema: T.StructType
+    ) -> DataFrame:
+        paths = self._kind_paths(crawl_id, kind)
         if not paths:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
@@ -192,20 +210,29 @@ class SnapshotStore:
         return self._read_kind(spark, crawl_id, "metrics", METRICS_SCHEMA)
 
     def frontier_all(self, spark: SparkSession) -> DataFrame:
-        """Current frontier across every crawl (the list/stats APIs)."""
-        crawls = self.list_crawls()
-        if not crawls:
-            return spark.createDataFrame([], FRONTIER_SCHEMA)
-        out = self.frontier(spark, crawls[0])
-        for cid in crawls[1:]:
-            out = out.unionByName(self.frontier(spark, cid))
-        return out
+        """Current frontier across every crawl (the list/stats APIs).
 
-    def frontier(self, spark: SparkSession, crawl_id: str) -> DataFrame:
-        """Current frontier = inserts merged with the latest status update
-        per URL (merge-on-read; Iceberg MERGE INTO equivalent)."""
-        ins = self.inserts(spark, crawl_id)
-        upd = self.updates(spark, crawl_id)
+        All crawls' committed delta files go into ONE read per kind and
+        ONE merge-on-read window over (crawl_id, url_hash, full_key) —
+        the round-1 per-crawl union loop built one window+join plan per
+        crawl, which explodes at hundreds of crawls."""
+        crawls = self.list_crawls()
+        ins_paths = [p for cid in crawls for p in self._kind_paths(cid, "inserts")]
+        upd_paths = [p for cid in crawls for p in self._kind_paths(cid, "updates")]
+        if not ins_paths:
+            return spark.createDataFrame([], FRONTIER_SCHEMA)
+        ins = spark.read.schema(FRONTIER_SCHEMA).parquet(*ins_paths)
+        upd = (
+            spark.read.schema(UPDATES_SCHEMA).parquet(*upd_paths)
+            if upd_paths
+            else spark.createDataFrame([], UPDATES_SCHEMA)
+        )
+        return self._merge_on_read(ins, upd)
+
+    @staticmethod
+    def _merge_on_read(ins: DataFrame, upd: DataFrame) -> DataFrame:
+        """inserts + latest status update per URL (Iceberg MERGE INTO
+        equivalent): one window, one left join."""
         w = Window.partitionBy("crawl_id", "url_hash", "full_key").orderBy(
             F.desc("wave")
         )
@@ -225,4 +252,11 @@ class SnapshotStore:
             .withColumn("status", F.coalesce("_u_status", "status"))
             .withColumn("attempts", F.coalesce("_u_attempts", "attempts"))
             .drop("_u_status", "_u_attempts")
+        )
+
+    def frontier(self, spark: SparkSession, crawl_id: str) -> DataFrame:
+        """Current frontier = inserts merged with the latest status update
+        per URL (merge-on-read; Iceberg MERGE INTO equivalent)."""
+        return self._merge_on_read(
+            self.inserts(spark, crawl_id), self.updates(spark, crawl_id)
         )
