@@ -28,10 +28,17 @@ Operator -> query map (SURVEY.md §2 ids in parens):
   doc_fingerprint        pipeline: document fingerprinting
   lang_id_heuristic      pipeline: stopword-profile language ID
   ann_cosine_topk        pipeline: brute-force cosine top-k ANN baseline
-  embedding_near_dup     pipeline: embedding-cosine near-dup pairs
-  crawl_bfs_demo         the actual wave engine, rows-only
-  media_span_stats       interleaved multimodal corpus, rows-only
-  media_features_stub    multimodal decode plumbing (stubbed), rows-only
+  ann_lsh_topk           pipeline: sign-projection LSH ANN + bucket cap
+  jaccard_pairs          pipeline: exact n-gram Jaccard + hot-shingle cap
+  simhash_near_dup       pipeline: SimHash banded LSH (md5 bit-votes)
+  embedding_near_dup     pipeline: exact near-dup baseline (labeled O(n^2))
+  embedding_near_dup_lsh pipeline: bucketed near-dup (the scale path)
+  crawl_bfs_demo         the actual wave engine vs the sequential oracle
+  media_span_stats       interleaved multimodal corpus vs pure-Python twin
+  media_features_stub    multimodal decode plumbing vs pure-Python twin
+
+Every entry has a DuckDB oracle; six are generated at call time
+(deterministic pure Python: embedded plane literals or VALUES tables).
 """
 
 from __future__ import annotations

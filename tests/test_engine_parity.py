@@ -189,3 +189,64 @@ def test_depth_validation(spark, corpus, docs_df, tmp_path):
     eng = CrawlEngine(spark, SnapshotStore(tmp_path / "s"), docs_df, CFG)
     with pytest.raises(ValueError):
         eng.start_crawl("HTTPS://S00000.BASE-0000.TEST", 6)
+
+
+def _fleet_member_state(spark, store, fleet_id, crawl_id):
+    from pyspark.sql import functions as F
+
+    frontier = store.frontier(spark, fleet_id).filter(F.col("crawl_id") == crawl_id)
+    edges = store.edges(spark, fleet_id).filter(F.col("crawl_id") == crawl_id)
+    nodes = {
+        r.full_key: (
+            r.name, r.http_type, r.depth, r.status, r.attempts,
+            r.wave, r.domain, r.ip, r.request_time,
+        )
+        for r in frontier.collect()
+    }
+    return nodes, {(r.src, r.dst, r.wave) for r in edges.collect()}
+
+
+def test_fleet_waves_parity_per_member(spark, corpus, docs_df, tmp_path):
+    """Batched fleet waves: one wave job serves all crawls, yet every
+    member's final state is bit-identical to its own independent oracle
+    run — crawl_id scoping isolates dedup/windows/politeness per member.
+    Includes a duplicated seed (two crawls of the same URL) and a dead
+    seed (root admission failure) in the same fleet."""
+    seeds = good_seeds(corpus, CFG)[:3]
+    fleet_seeds = seeds + [seeds[0], "HTTPS://NO-SUCH.BASE-9999.TEST"]
+    store = SnapshotStore(tmp_path / "s")
+    eng = CrawlEngine(spark, store, docs_df, CFG)
+    fid = eng.start_fleet(fleet_seeds, 3, fleet_id="f")
+    meta = eng.run_crawl(fid)
+    assert meta["status"] == "completed"
+    members = store.read_crawl_meta(fid)["members"]
+    assert len(members) == 5
+    assert store.read_crawl_meta(members[4])["status"] == "failed"
+    for i, seed in enumerate(fleet_seeds[:4]):
+        oracle = OracleCrawler(corpus, CFG).crawl(seed, 3, crawl_id=members[i])
+        s_nodes, s_edges = _fleet_member_state(spark, store, fid, members[i])
+        o_nodes, o_edges = oracle_state(oracle)
+        assert set(s_nodes) == set(o_nodes), f"member {i} seen-set mismatch"
+        assert s_nodes == o_nodes, f"member {i} node attrs mismatch"
+        assert s_edges == o_edges, f"member {i} edges mismatch"
+    # duplicated seed: both members crawled the same tree independently
+    a = _fleet_member_state(spark, store, fid, members[0])[0]
+    d = _fleet_member_state(spark, store, fid, members[3])[0]
+    assert set(a) == set(d)
+
+
+def test_fleet_politeness_parity(spark, corpus, docs_df, tmp_path):
+    """Fleet waves under a binding politeness budget still match each
+    member's oracle (the budget window partitions by crawl_id, host)."""
+    cfg = CrawlConfig(host_budget_per_wave=2, politeness_salt=4)
+    seeds = good_seeds(corpus, cfg)[:2]
+    store = SnapshotStore(tmp_path / "s")
+    eng = CrawlEngine(spark, store, docs_df, cfg)
+    fid = eng.start_fleet(seeds, 3, fleet_id="fp")
+    eng.run_crawl(fid)
+    members = store.read_crawl_meta(fid)["members"]
+    for i, seed in enumerate(seeds):
+        oracle = OracleCrawler(corpus, cfg).crawl(seed, 3, crawl_id=members[i])
+        s_nodes, s_edges = _fleet_member_state(spark, store, fid, members[i])
+        o_nodes, o_edges = oracle_state(oracle)
+        assert s_nodes == o_nodes and s_edges == o_edges, f"member {i}"

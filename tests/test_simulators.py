@@ -67,3 +67,29 @@ def test_dns_parity(spark):
         assert r["ip"] == ip, r["name"]
     # single-label name must always fail, like the reference
     assert dns_py("LOCALHOST:3000", CFG)[0] is False
+
+
+def test_dns_unrolled_parity(spark):
+    """The unrolled hot-path form (substring_index when-chain, zero HOFs,
+    zero Python) is bit-identical to dns_py and dns_cols — including
+    port-glued last labels, deep subdomains, and single-label names."""
+    from web_crawler_spark.sources.simulators import dns_cols_unrolled
+
+    extra = [
+        "A.B.C.D.E.F.BASE-0001.TEST",  # deeper than max_dns_depth
+        "S00001.BASE-0001.TEST:8080",  # port glued to the last label
+        "SINGLELABEL",
+        "X.Y",
+    ]
+    names = NAMES + extra
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    cols = dns_cols_unrolled(F.col("name"), CFG)
+    rows = df.select(
+        "name", cols["dns_ok"].alias("ok"), cols["domain"].alias("dom"),
+        cols["ip"].alias("ip"),
+    ).collect()
+    for r in rows:
+        ok, dom, ip = dns_py(r["name"], CFG)
+        assert r["ok"] == ok, r["name"]
+        assert r["dom"] == dom, r["name"]
+        assert r["ip"] == ip, r["name"]

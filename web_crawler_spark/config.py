@@ -22,11 +22,16 @@ class CrawlConfig:
     # deterministic-simulation knobs (sandbox stand-ins for live HTTP/DNS)
     dns_resolve_permille: int = 985   # P(suffix resolves) = 985/1000
     seed_tag: str = "v1"              # namespaces all hash-derived randomness
-    # "pandas": Arrow-batched UDF, one eval per name (fast — the HOF
-    # column-expression form runs interpreted and re-evaluates per output
-    # column); "expr": pure column expressions (zero Python, for
-    # environments where Python workers are undesirable). Identical output.
-    dns_impl: str = "pandas"
+    # "unrolled" (default): pure scalar column expressions — the
+    # max_dns_depth loop unrolled into a substring_index/xxhash64
+    # when-chain, fully inside whole-stage codegen, zero Python;
+    # "pandas": Arrow-batched UDF (one eval per name — kept as the
+    # fallback for regex/semantics experiments; JVM threads block on the
+    # Arrow socket while Python works);
+    # "expr": array/HOF column expressions (interpreted by Spark —
+    # profiled ~6x slower than the UDF; kept for parity testing).
+    # All three produce bit-identical output (tested).
+    dns_impl: str = "unrolled"
 
     # politeness / skew (north-rule additions; None = unlimited, reference parity)
     host_budget_per_wave: int | None = None

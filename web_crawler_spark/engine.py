@@ -59,6 +59,7 @@ from .config import CrawlConfig
 from .functions.urls import URL_REGEX_JAVA, normalize_cols, normalize_url_py
 from .sources.simulators import (
     dns_cols,
+    dns_cols_unrolled,
     dns_pandas_udf,
     dns_py,
     fetch_outcome_cols,
@@ -102,6 +103,7 @@ class CrawlEngine:
         documents: DataFrame,
         cfg: CrawlConfig | None = None,
         robots: DataFrame | None = None,
+        prepared: bool = False,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -110,10 +112,17 @@ class CrawlEngine:
         # every wave's fetch join then shuffles only the wave side.  At
         # production scale the same property comes from bucketing the
         # Iceberg documents table by xxhash64(doc_id) instead of caching.
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        self.documents = (
-            documents.select("doc_id", "spans").repartition(n_part, "doc_id").persist()
-        )
+        # prepared=True: caller passes another engine's already-pruned,
+        # partitioned, persisted corpus — avoids caching it twice.
+        if prepared:
+            self.documents = documents
+        else:
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            self.documents = (
+                documents.select("doc_id", "spans")
+                .repartition(n_part, "doc_id")
+                .persist()
+            )
         self.robots = robots  # columns: host, disallowed
         # larger Arrow batches for the narrow bloom/DNS UDF stages: fewer
         # batch boundaries => better JVM<->Python pipelining per task
@@ -167,6 +176,94 @@ class CrawlEngine:
         )
         self._run_wave(crawl_id, 0, seed_df, seen=None, is_root=True)
         return crawl_id
+
+    def start_fleet(
+        self,
+        seed_urls: list[str],
+        requested_depth: int,
+        fleet_id: str | None = None,
+    ) -> str:
+        """Batched multi-crawl seeding: one wave job serves the whole
+        fleet, so the per-wave fixed machinery (job barriers, commit,
+        frontier fold) is paid once per fleet instead of once per crawl
+        (round-1 ANALYSIS lever #3).  Every DataFrame op in the wave
+        pipeline is already keyed by crawl_id — dedup, windows, parent
+        aggregation, politeness — so member crawls stay fully isolated
+        (same guarantee as the reference's per-crawl_id scoping,
+        feeder/src/job.rs:137-165).
+
+        The fleet's snapshots live under one wave-dir chain keyed by
+        ``fleet_id``; per-member state is the ``crawl_id`` column.  Run
+        with ``run_crawl(fleet_id)``; read one member's frontier with
+        ``store.frontier(spark, fleet_id).filter(col('crawl_id') == ...)``.
+        """
+        if not 1 <= requested_depth <= self.cfg.max_crawl_depth:
+            raise ValueError(
+                f"depth must be 1..{self.cfg.max_crawl_depth} (crawl.rs:36-42)"
+            )
+        fleet_id = fleet_id or f"fleet-{uuid.uuid4()}"
+        norm = [normalize_url_py(u) for u in seed_urls]
+        keys = [proto + name for name, proto in norm]
+        # ONE existence-check job for all roots (not one isEmpty per seed)
+        present = {
+            r.doc_id
+            for r in self.documents.filter(F.col("doc_id").isin(keys))
+            .select("doc_id")
+            .collect()
+        }
+        rows, members = [], []
+        for i, (seed_url, (name, proto)) in enumerate(zip(seed_urls, norm)):
+            crawl_id = f"{fleet_id}-c{i:05d}"
+            seed_key = proto + name
+            dns_ok, domain, ip = dns_py(name, self.cfg)
+            fetch_ok, sim_status, _ = fetch_outcome_py(
+                seed_key, seed_key in present, 0, self.cfg
+            )
+            meta = {
+                "crawl_id": crawl_id,
+                "fleet_id": fleet_id,
+                "seed_url": seed_url,
+                "seed_key": seed_key,
+                "name": name,
+                "http_type": proto,
+                "domain": domain,
+                "ip": ip,
+                "requested_depth": requested_depth,
+                "created_at": time.time(),
+                "status": "running",
+            }
+            if not dns_ok or not fetch_ok:
+                meta["status"] = "failed"
+                meta["fail_reason"] = f"root fetch/dns failed (status={sim_status})"
+            else:
+                rows.append(
+                    (crawl_id, seed_key, name, proto, 0, requested_depth, 0)
+                )
+            self.store.write_crawl_meta(meta)
+            members.append(crawl_id)
+        self.store.write_crawl_meta(
+            {
+                "crawl_id": fleet_id,
+                "is_fleet": True,
+                "members": members,
+                "seed_url": "",
+                "seed_key": "",
+                "requested_depth": requested_depth,
+                "created_at": time.time(),
+                "status": "running" if rows else "failed",
+            }
+        )
+        if rows:
+            seed_df = self.spark.createDataFrame(
+                rows,
+                "crawl_id string, full_key string, name string, http_type string, "
+                "depth int, requested_depth int, attempts int",
+            )
+            self._run_wave(
+                fleet_id, 0, seed_df, seen=None, is_root=True,
+                root_fetched=len(rows),
+            )
+        return fleet_id
 
     def cancel_crawl(self, crawl_id: str) -> None:
         """U3: flag the crawl; the wave loop turns PENDING into CANCELLED
@@ -307,6 +404,7 @@ class CrawlEngine:
         seen: DataFrame | None,
         is_root: bool,
         n_seen: int | None = None,
+        root_fetched: int = 1,
     ) -> WaveResult:
         t0 = time.time()
         cfg = self.cfg
@@ -412,13 +510,23 @@ class CrawlEngine:
                 # negatives) — certainly-fresh candidates skip the exact
                 # join shuffle entirely.  Narrow scalar UDF: only the
                 # hash column crosses the Arrow boundary (dedup.py).
+                # The bloom key is crawl-scoped (xxhash64(crawl_id, key)):
+                # under fleet waves, one crawl's seen URL must not shadow
+                # another crawl's fresh candidate (isolation, SURVEY §1.1);
+                # cross-crawl false positives would only cost exact-join
+                # rows, but scoping keeps the prefilter effective too.
                 from .operators.dedup import bloom_maybe_seen_udf, build_bloom_bitmaps
 
-                bitmaps = build_bloom_bitmaps(seen, cfg, n_seen=n_seen)
+                seen_hashed = seen.select(
+                    F.xxhash64("crawl_id", "full_key").alias("url_hash")
+                )
+                bitmaps = build_bloom_bitmaps(seen_hashed, cfg, n_seen=n_seen)
                 bcast = self.spark.sparkContext.broadcast(bitmaps)
                 flagged = local.withColumn(
                     "maybe_seen",
-                    bloom_maybe_seen_udf(bcast, cfg)(F.col("child_hash")),
+                    bloom_maybe_seen_udf(bcast, cfg)(
+                        F.xxhash64("crawl_id", "child_full")
+                    ),
                 ).persist()
                 to_unpersist.append(flagged)
                 certain = (
@@ -452,7 +560,8 @@ class CrawlEngine:
                 .drop("_dns")
             )
         else:
-            dns = dns_cols(F.col("child_name"), cfg)
+            dns_fn = dns_cols if cfg.dns_impl == "expr" else dns_cols_unrolled
+            dns = dns_fn(F.col("child_name"), cfg)
             cand = (
                 fresh.withColumn("dns_ok", dns["dns_ok"])
                 .withColumn("child_domain", dns["domain"])
@@ -618,8 +727,8 @@ class CrawlEngine:
             og = upd_obs.get
             fetched, ok = int(og["fetched"]), int(og["ok"])
             timeouts, n_failed = int(og["timeouts"]), int(og["failed"])
-        else:  # wave 0: the root was pre-admitted driver-side
-            fetched, ok, timeouts, n_failed = 1, 1, 0, 0
+        else:  # wave 0: the root(s) were pre-admitted driver-side
+            fetched, ok, timeouts, n_failed = root_fetched, root_fetched, 0, 0
 
         elapsed_ms = int((time.time() - t0) * 1000)
         metrics_rows = [

@@ -146,6 +146,44 @@ def dns_cols(name: Column, cfg: CrawlConfig) -> dict[str, Column]:
     }
 
 
+def dns_cols_unrolled(name: Column, cfg: CrawlConfig) -> dict[str, Column]:
+    """DNS outcome columns via an UNROLLED when-chain — the hot-path form.
+
+    ``max_dns_depth`` is a small constant (5), so the reference's
+    iterative domain shortening (shared/src/dns.rs:15-48) unrolls into a
+    fixed chain of ``substring_index``/``xxhash64`` scalar expressions:
+    no arrays, no higher-order functions (which Spark evaluates
+    interpreted, outside whole-stage codegen — the round-1 profile showed
+    executor threads pinned in UTF8String.split), and no Python worker
+    round-trip (the round-2 profile showed JVM task threads blocked on
+    the Arrow socket).  Bit-identical to :func:`dns_py` (tested).
+
+    Label count is length-difference arithmetic; ``substring_index(name,
+    '.', -k)`` is the k-label suffix — shortest resolving suffix wins,
+    exactly like the reference.
+    """
+    n_labels = (
+        F.length(name) - F.length(F.replace(name, F.lit("."), F.lit(""))) + 1
+    )
+    chain = None
+    for k in range(2, cfg.max_dns_depth + 1):
+        cand = F.substring_index(name, ".", -k)
+        cond = (n_labels >= k) & _suffix_resolves_col(cand, cfg)
+        chain = F.when(cond, cand) if chain is None else chain.when(cond, cand)
+    winner = chain  # first (shortest) resolving suffix, else NULL
+    ok = winner.isNotNull()
+    domain = F.substring_index(winner, ".", 1)
+    h = F.xxhash64(F.concat(F.lower(winner), F.lit("#ip" + cfg.seed_tag)))
+    ip = F.concat_ws(
+        ".",
+        (F.pmod(h, F.lit(223)) + 1).cast("string"),
+        F.pmod(F.shiftright(h, 8), F.lit(256)).cast("string"),
+        F.pmod(F.shiftright(h, 16), F.lit(256)).cast("string"),
+        (F.pmod(F.shiftright(h, 24), F.lit(254)) + 1).cast("string"),
+    )
+    return {"dns_ok": ok, "domain": domain, "ip": F.when(ok, ip)}
+
+
 def dns_batch_py(
     names, cfg: CrawlConfig, _cache: dict | None = None
 ) -> list[tuple[bool, str | None, str | None]]:
