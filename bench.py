@@ -63,6 +63,25 @@ BENCH_QUERIES = [
 ]
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(busy_jiffies, steal_jiffies) from /proc/stat — this sandbox VM
+    shows bursts of ~19% CPU steal from co-tenants; every measurement
+    reports the steal share it ran under so noise is visible."""
+    try:
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        steal = v[7] if len(v) > 7 else 0
+        busy = v[0] + v[1] + v[2] + v[5] + v[6] + steal
+        return busy, steal
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    db, ds = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / db, 2) if db > 0 else 0.0
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -79,9 +98,12 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     if EVENTLOG:
         Path(EVENTLOG).mkdir(parents=True, exist_ok=True)
         builder = builder.config("spark.eventLog.enabled", "true").config(
@@ -108,13 +130,26 @@ def main() -> None:
         dead_link_pct=8,
     )
     Path(WORKDIR).mkdir(parents=True, exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix="bench_corpus_", dir=WORKDIR)
-    corpus_path = f"{tmp}/documents.parquet"
-    generate_documents_df(spark, params, partitions=CPUS * 2).write.parquet(
-        corpus_path
+    tmp = tempfile.mkdtemp(prefix="bench_run_", dir=WORKDIR)
+    # the corpus is a pure function of (params) — cache it across runs so
+    # a low-core run doesn't pay the Python generation again (generation
+    # parallelism is the core count; 600k docs at 2 cores is ~12 min)
+    corpus_path = (
+        f"{WORKDIR}/corpus_{NDOCS}_{params.urls_per_host}_"
+        f"{params.links_per_span_max}_{params.spans_max}_{params.dead_link_pct}"
     )
+    done_marker = Path(corpus_path + ".done")
+    if not done_marker.exists():
+        generate_documents_df(spark, params, partitions=max(CPUS * 2, 16)).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+        done_marker.touch()
     docs = spark.read.parquet(corpus_path)
-    cfg = CrawlConfig(host_budget_per_wave=None, max_crawl_depth=max(5, DEPTH))
+    cfg = CrawlConfig(
+        host_budget_per_wave=None,
+        max_crawl_depth=max(5, DEPTH),
+        use_bloom_prefilter=os.environ.get("SPARK_GRAFT_NO_BLOOM", "") != "1",
+    )
     store = SnapshotStore(f"{tmp}/store")
     eng = CrawlEngine(spark, store, docs, cfg)
 
@@ -138,10 +173,12 @@ def main() -> None:
     wid = eng.start_crawl(seed, 2, crawl_id="warm")
     eng.run_crawl(wid)
 
+    s0 = _cpu_stat()
     t0 = time.time()
     cid = eng.start_crawl(seed, DEPTH, crawl_id="bench")
     eng.run_crawl(cid)
     crawl_sec = time.time() - t0
+    crawl_steal = _steal_pct(s0, _cpu_stat())
 
     m = store.metrics(spark, cid).filter("partition_id = -1").collect()
     urls_processed = sum(r.fetched for r in m)
@@ -174,10 +211,12 @@ def main() -> None:
         # the fleet, one wave-dir chain for all members
         store_f = SnapshotStore(f"{tmp}/store_fleet")
         eng_f = CrawlEngine(spark, store_f, eng.documents, cfg, prepared=True)
+        fs0 = _cpu_stat()
         t0 = time.time()
         fid = eng_f.start_fleet(seeds, fleet_depth)
         eng_f.run_crawl(fid)
         fleet_sec = time.time() - t0
+        fleet_steal = _steal_pct(fs0, _cpu_stat())
         fm = store_f.metrics(spark, fid).filter("partition_id = -1").collect()
         f_fetched = sum(r.fetched for r in fm)
         f_links = sum(r.candidates + r.dedup_dropped for r in fm)
@@ -196,6 +235,7 @@ def main() -> None:
             "urls_fetched_plus_deduped_per_sec": round(
                 (f_fetched + f_links) / fleet_sec, 2
             ),
+            "cpu_steal_pct": fleet_steal,
         }
 
     # ---- operator queries over the driver testdata ----
@@ -229,6 +269,7 @@ def main() -> None:
             "urls_per_sec": round(urls_processed / crawl_sec, 2),
             "nodes": int(nodes),
             "edges": int(edges),
+            "cpu_steal_pct": crawl_steal,
         },
     }
     if fleet_out is not None:

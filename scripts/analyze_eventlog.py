@@ -87,6 +87,9 @@ def main():
             a["sh_write"] += swm.get("Shuffle Bytes Written", 0)
             a["sh_write_ms"] += swm.get("Shuffle Write Time", 0) / 1e6
             a["sh_fetch_ms"] += srm.get("Fetch Wait Time", 0)
+            a["spill_mem"] += tm.get("Memory Bytes Spilled", 0)
+            a["spill_disk"] += tm.get("Disk Bytes Spilled", 0)
+            a["peak_mem"] = max(a["peak_mem"], tm.get("Peak Execution Memory", 0))
             # python/Arrow time is in accumulables on the task end
             for acc in ev.get("Task End Reason", {}) and []:
                 pass
@@ -124,6 +127,8 @@ def main():
                 "gc_s": a.get("gc", 0) / 1000,
                 "sh_read_mb": a.get("sh_read", 0) / 1e6,
                 "sh_write_mb": a.get("sh_write", 0) / 1e6,
+                "spill_mb": (a.get("spill_mem", 0) + a.get("spill_disk", 0)) / 1e6,
+                "peak_mem_mb": a.get("peak_mem", 0) / 1e6,
             }
         )
 
@@ -137,6 +142,8 @@ def main():
         g["gc_s"] += r["gc_s"]
         g["sh_read_mb"] += r["sh_read_mb"]
         g["sh_write_mb"] += r["sh_write_mb"]
+        g["spill_mb"] += r["spill_mb"]
+        g["peak_mem_mb"] = max(g["peak_mem_mb"], r["peak_mem_mb"])
         g["n"] += 1
 
     if wall:
@@ -145,11 +152,12 @@ def main():
               f"({100*(wall-busy)/wall:.0f}% of wall)")
     print(f"\ntop {top_n} stage groups by summed wall:")
     print(f"{'wall_s':>8} {'runT_s':>8} {'cpuT_s':>8} {'gc_s':>6} "
-          f"{'rd_MB':>8} {'wr_MB':>8} {'n':>3}  name")
+          f"{'rd_MB':>8} {'wr_MB':>8} {'spill_MB':>9} {'peak_MB':>8} {'n':>3}  name")
     for name, g in sorted(by_name.items(), key=lambda kv: -kv[1]["wall_s"])[:top_n]:
         print(
             f"{g['wall_s']:8.1f} {g['task_run_s']:8.1f} {g['task_cpu_s']:8.1f} "
             f"{g['gc_s']:6.1f} {g['sh_read_mb']:8.0f} {g['sh_write_mb']:8.0f} "
+            f"{g['spill_mb']:9.0f} {g['peak_mem_mb']:8.0f} "
             f"{int(g['n']):3d}  {name}"
         )
 

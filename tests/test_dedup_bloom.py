@@ -105,3 +105,71 @@ def test_bloom_path_equals_plain_join_path(spark, tmp_path, depth):
         states[label] = engine_state(spark, store, cid)
     docs.unpersist()
     assert states["bloom"] == states["plain"]
+
+
+def test_incremental_bloom_equals_full_build(spark):
+    """ORing per-wave delta bitmaps == one full build at the same m_bits
+    (bit-set union is exact), and membership stays false-negative-free."""
+    from web_crawler_spark.operators.dedup import IncrementalBloom, _test_hashes
+
+    all_keys = [xxhash64_str(f"k{i}") for i in range(30_000)]
+    half1, half2 = all_keys[:15_000], all_keys[15_000:]
+    df1 = spark.createDataFrame([(h,) for h in half1], "url_hash long")
+    df2 = spark.createDataFrame([(h,) for h in half2], "url_hash long")
+    dfa = spark.createDataFrame([(h,) for h in all_keys], "url_hash long")
+
+    inc = IncrementalBloom.build(df1, CFG, n_seen=len(half1))
+    inc.update(df2)
+    full = IncrementalBloom.build(dfa, CFG, n_seen=len(half1))  # same sizing
+    assert inc.m_bits == full.m_bits
+    assert set(inc.bitmaps) == set(full.bitmaps)
+    for b in inc.bitmaps:
+        assert (inc.bitmaps[b] == full.bitmaps[b]).all(), f"bucket {b}"
+    verdict = _test_hashes(
+        inc.bitmaps, np.array(all_keys, dtype=np.int64), CFG
+    )
+    assert verdict.all()  # every inserted key is maybe_seen
+
+
+def test_incremental_bloom_save_load_guard(tmp_path, spark):
+    from web_crawler_spark.config import CrawlConfig as C
+    from web_crawler_spark.operators.dedup import IncrementalBloom
+
+    df = spark.createDataFrame([(xxhash64_str(f"k{i}"),) for i in range(1000)],
+                               "url_hash long")
+    inc = IncrementalBloom.build(df, C(), n_seen=1000)
+    p = tmp_path / "bloom.npz"
+    inc.save(p, wave=7)
+    loaded = IncrementalBloom.load(p, C(), expect_wave=7)
+    assert loaded is not None and loaded.m_bits == inc.m_bits
+    for b in inc.bitmaps:
+        assert (loaded.bitmaps[b] == inc.bitmaps[b]).all()
+    # stale state (wrong wave) must be rejected -> full rebuild instead
+    assert IncrementalBloom.load(p, C(), expect_wave=8) is None
+    assert IncrementalBloom.load(tmp_path / "missing.npz", C(), 7) is None
+
+
+def test_bloom_resume_with_persisted_state(spark, tmp_path):
+    """Crash/resume across waves with incremental bloom forced on: resume
+    loads (or safely rebuilds) state and the final crawl state matches
+    the no-bloom twin bit-exactly."""
+    params = CorpusParams(n_docs=80)
+    corpus = build_corpus_py(params)
+    docs = documents_df_from_py(spark, corpus).cache()
+    cfg = CrawlConfig(use_bloom_prefilter=True, bloom_min_seen=0)
+    seed = good_seeds(corpus, cfg)[0]
+    store = SnapshotStore(tmp_path / "a")
+    eng = CrawlEngine(spark, store, docs, cfg)
+    cid = eng.start_crawl(seed, 3, crawl_id="c")
+    eng.run_crawl(cid, max_waves=2)          # stop mid-crawl
+    assert (store.wave_dir(cid, 2) / "bloom.npz").exists()
+    eng2 = CrawlEngine(spark, store, docs, cfg)   # fresh engine => resume
+    eng2.run_crawl(cid)
+    plain_store = SnapshotStore(tmp_path / "b")
+    eng3 = CrawlEngine(
+        spark, plain_store, docs, CrawlConfig(use_bloom_prefilter=False)
+    )
+    cid3 = eng3.start_crawl(seed, 3, crawl_id="c")
+    eng3.run_crawl(cid3)
+    docs.unpersist()
+    assert engine_state(spark, store, cid) == engine_state(spark, plain_store, cid3)

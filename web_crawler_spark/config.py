@@ -43,9 +43,18 @@ class CrawlConfig:
     bloom_bits_per_key: int = 16      # ~0.04% FPP with 2 probes
     bloom_num_probes: int = 2
     dedup_buckets: int = 32           # co-partition bucket count for anti-joins
-    # below this seen-set size the bloom build job cannot pay for itself
-    # (the exact join is cheap and the build is a fixed per-wave job)
-    bloom_min_seen: int = 100_000
+    # below this seen-set size the bloom prefilter cannot pay for itself:
+    # the verdict is an Arrow-batched Python stage in the middle of the
+    # wave pipeline, and at local[32]/600k-docs it was measured to cost
+    # 5x the whole crawl (425 s with vs 85 s without — the ArrowEvalPython
+    # barrier serializes the heavy stage; BENCH/ANALYSIS.md round 2).
+    # The prefilter's purpose is the regime where the seen set is huge
+    # relative to executor memory and most candidates are duplicates
+    # (late-crawl convergence at the 10^10-row design point); there the
+    # trimmed join shuffle dominates the Python round-trip.  The operator
+    # stays first-class: incremental, persisted, equivalence-tested
+    # (tests force it on with bloom_min_seen=0).
+    bloom_min_seen: int = 5_000_000
 
     # snapshot store
     compact_every_waves: int = 8

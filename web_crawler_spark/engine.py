@@ -93,6 +93,11 @@ class WaveResult:
     children: int
     pending_after: int
     elapsed_ms: int
+    # wave-arithmetic inputs for the driver's pending/seen bookkeeping
+    # (no per-wave frontier count job): parents that stayed PENDING for a
+    # retry, and children born PENDING (non-leaf)
+    parent_retries: int = 0
+    children_pending: int = 0
 
 
 class CrawlEngine:
@@ -283,6 +288,8 @@ class CrawlEngine:
         meta = self.store.read_crawl_meta(crawl_id)
         if meta["status"] in ("failed", "cancelled", "completed"):
             return meta
+        from .operators.dedup import IncrementalBloom
+
         self.store.clean_uncommitted(crawl_id)
         committed = self.store.committed_waves(crawl_id)
         wave = (committed[-1] + 1) if committed else 1
@@ -290,6 +297,7 @@ class CrawlEngine:
         waves_done = 0
         frontier: DataFrame | None = None
         n_seen = n_pending = 0
+        bloom: IncrementalBloom | None = None
         try:
             while True:
                 meta = self.store.read_crawl_meta(crawl_id)
@@ -309,22 +317,73 @@ class CrawlEngine:
                     frontier, n_seen, n_pending = self._materialize_frontier(
                         self.store.frontier(self.spark, crawl_id)
                     )
+                    if committed:  # resume: reuse persisted bloom state if
+                        # it matches the last committed wave exactly
+                        bloom = IncrementalBloom.load(
+                            self.store.wave_dir(crawl_id, committed[-1])
+                            / "bloom.npz",
+                            self.cfg,
+                            expect_wave=committed[-1],
+                        )
                 if n_pending == 0:
                     meta["status"] = "completed"
                     self.store.write_crawl_meta(meta)
+                    for member in meta.get("members", []):  # fleet members
+                        m = self.store.read_crawl_meta(member)
+                        if m["status"] == "running":
+                            m["status"] = "completed"
+                            self.store.write_crawl_meta(m)
                     return meta
+                # incremental bloom lifecycle: build once the seen set is
+                # worth prefiltering, grow by full rebuild when outgrown;
+                # per-wave maintenance is an O(wave) delta update inside
+                # _run_wave instead of the O(crawl) frontier re-scan
+                use_bloom = (
+                    self.cfg.use_bloom_prefilter
+                    and n_seen >= self.cfg.bloom_min_seen
+                )
+                if use_bloom and (bloom is None or bloom.needs_rebuild(n_seen)):
+                    bloom = IncrementalBloom.build(
+                        frontier.select(
+                            F.xxhash64("crawl_id", "full_key").alias("url_hash")
+                        ),
+                        self.cfg,
+                        n_seen,
+                    )
+                elif not use_bloom:
+                    bloom = None
                 eligible = self._eligible(frontier, n_pending)
-                self._run_wave(
+                result = self._run_wave(
                     crawl_id, wave, eligible, seen=frontier, is_root=False,
-                    n_seen=n_seen,
+                    n_seen=n_seen, bloom=bloom,
+                )
+                if bloom is not None:  # post-commit best-effort cache
+                    bloom.save(
+                        self.store.wave_dir(crawl_id, wave) / "bloom.npz", wave
+                    )
+                # pending/seen bookkeeping by WAVE ARITHMETIC (cross-checked
+                # against the merge job's observed counts): every eligible
+                # parent left PENDING except retries; children are born
+                # PENDING unless leaves; politeness-deferred parents stayed
+                # PENDING untouched.
+                n_pending_arith = (
+                    (n_pending - result.fetched)
+                    + result.parent_retries
+                    + result.children_pending
                 )
                 merged = self._merge_wave(frontier, crawl_id, wave)
-                # one materialization job per wave carries the seen-set and
-                # pending counts as observed metrics — the standalone
-                # pending.count() job of round 1 is folded away
+                # ONE eager materialization job per wave: fills the cache
+                # at full parallelism (a lazy persist was measured 2x
+                # worse — the next wave's first job then recomputes the
+                # merge lineage on several DAG branches before the cache
+                # exists) and carries the exact counts as observed metrics.
                 merged, n_seen, n_pending = self._materialize_frontier(
                     merged,
                     checkpoint=(wave % self.cfg.compact_every_waves == 0),
+                )
+                assert n_pending == n_pending_arith, (
+                    f"wave {wave}: pending arithmetic {n_pending_arith} != "
+                    f"observed {n_pending} (engine bookkeeping bug)"
                 )
                 frontier.unpersist()
                 frontier = merged
@@ -405,6 +464,7 @@ class CrawlEngine:
         is_root: bool,
         n_seen: int | None = None,
         root_fetched: int = 1,
+        bloom=None,  # IncrementalBloom state managed by run_crawl
     ) -> WaveResult:
         t0 = time.time()
         cfg = self.cfg
@@ -422,24 +482,36 @@ class CrawlEngine:
         fo = fetch_outcome_cols(
             F.col("full_key"), F.col("doc_id").isNotNull(), F.col("attempts"), cfg
         )
-        outcomes = (
+        outcomes_full = (
             fetched.withColumn("fetch_ok", fo["fetch_ok"])
             .withColumn("sim_status", fo["sim_status"])
             .withColumn("latency_ms", fo["latency_ms"])
-        ).persist()
+        )
+        # only the NARROW projection is cached (for the updates/metrics
+        # pass): caching the joined width would push every wave's span
+        # arrays — the corpus content — through the block store, GBs of
+        # allocation churn per wave for rows read exactly once.  The links
+        # path below re-derives the join instead (corpus side is cached
+        # and co-partitioned; the wave side is the small one).
+        outcomes = outcomes_full.drop("doc_id", "spans").persist()
 
         # ---- link extraction (P1) over text spans in offset order ----
-        ok_pages = outcomes.filter(F.col("fetch_ok")).select(
+        # media spans are filtered out INSIDE the array before the
+        # explode, so non-text spans never become rows.  span_idx then
+        # indexes the filtered array — still offset-ordered, and `pos` is
+        # only ever used for ORDERING (min per parent/child, tie-breaks),
+        # so the renumbering is invisible to semantics.
+        text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == "text")
+        ok_pages = outcomes_full.filter(F.col("fetch_ok")).select(
             "crawl_id",
             F.col("full_key").alias("parent_key"),
             F.col("depth").alias("parent_depth"),
             "requested_depth",
             "latency_ms",
-            F.posexplode("spans").alias("span_idx", "span"),
+            F.posexplode(text_spans).alias("span_idx", "span"),
         )
         links = (
-            ok_pages.filter(F.col("span.kind") == "text")
-            .select(
+            ok_pages.select(
                 "crawl_id",
                 "parent_key",
                 "parent_depth",
@@ -496,7 +568,7 @@ class CrawlEngine:
         # exact join it would trim (round-1 lever #2); unknown n_seen
         # (direct _run_wave callers) keeps the prefilter on
         use_bloom = cfg.use_bloom_prefilter and (
-            n_seen is None or n_seen >= cfg.bloom_min_seen
+            bloom is not None or n_seen is None or n_seen >= cfg.bloom_min_seen
         )
         if seen is not None:
             seen_keys = seen.select(
@@ -517,10 +589,14 @@ class CrawlEngine:
                 # rows, but scoping keeps the prefilter effective too.
                 from .operators.dedup import bloom_maybe_seen_udf, build_bloom_bitmaps
 
-                seen_hashed = seen.select(
-                    F.xxhash64("crawl_id", "full_key").alias("url_hash")
-                )
-                bitmaps = build_bloom_bitmaps(seen_hashed, cfg, n_seen=n_seen)
+                if bloom is not None:
+                    # incremental state: no frontier scan this wave
+                    bitmaps = bloom.bitmap_bytes()
+                else:
+                    seen_hashed = seen.select(
+                        F.xxhash64("crawl_id", "full_key").alias("url_hash")
+                    )
+                    bitmaps = build_bloom_bitmaps(seen_hashed, cfg, n_seen=n_seen)
                 bcast = self.spark.sparkContext.broadcast(bitmaps)
                 flagged = local.withColumn(
                     "maybe_seen",
@@ -666,6 +742,9 @@ class CrawlEngine:
                     F.sum(F.when(status_expr == FAILED, 1).otherwise(0)).alias(
                         "failed"
                     ),
+                    F.sum(F.when(status_expr == PENDING, 1).otherwise(0)).alias(
+                        "retries"
+                    ),
                 )
             )
             updates = upd_base.select(
@@ -697,6 +776,15 @@ class CrawlEngine:
                 F.sum(
                     F.when(f & F.col("admitted") & (F.col("rn") == 1), 1).otherwise(0)
                 ).alias("children"),
+                F.sum(
+                    F.when(
+                        f
+                        & F.col("admitted")
+                        & (F.col("rn") == 1)
+                        & (F.col("parent_depth") + 1 < F.col("requested_depth")),
+                        1,
+                    ).otherwise(0)
+                ).alias("children_pending"),  # leaf rule F10 complement
             )
             .collect()
         )
@@ -704,6 +792,7 @@ class CrawlEngine:
         candidates = sum(int(r["candidates"]) for r in part_rows)
         dns_dropped = sum(int(r["dns_dropped"]) for r in part_rows)
         n_children = sum(int(r["children"]) for r in part_rows)
+        n_children_pending = sum(int(r["children_pending"]) for r in part_rows)
 
         # ---- commit the snapshot (S3): deltas then marker ----
         # the three delta writes all read from the cached `cand`/`outcomes`
@@ -723,12 +812,23 @@ class CrawlEngine:
             for fut in futures:
                 fut.result()
 
+        if bloom is not None:
+            # O(wave) incremental maintenance: OR this wave's insert keys
+            # into the driver-held state (children is cached; shuffle-free)
+            bloom.update(
+                children.select(
+                    F.xxhash64("crawl_id", "full_key").alias("url_hash")
+                )
+            )
+
         if upd_obs is not None:
             og = upd_obs.get
             fetched, ok = int(og["fetched"]), int(og["ok"])
             timeouts, n_failed = int(og["timeouts"]), int(og["failed"])
+            retries = int(og["retries"])
         else:  # wave 0: the root(s) were pre-admitted driver-side
             fetched, ok, timeouts, n_failed = root_fetched, root_fetched, 0, 0
+            retries = 0
 
         elapsed_ms = int((time.time() - t0) * 1000)
         metrics_rows = [
@@ -745,8 +845,7 @@ class CrawlEngine:
             )
             for r in part_rows
         ]
-        metrics_df = self.spark.createDataFrame(metrics_rows, METRICS_SCHEMA)
-        self.store.write_delta(metrics_df, crawl_id, wave, "metrics", files=1)
+        self.store.write_metrics_rows(metrics_rows, crawl_id, wave)
 
         result = WaveResult(
             wave=wave,
@@ -760,6 +859,8 @@ class CrawlEngine:
             children=n_children,
             pending_after=-1,
             elapsed_ms=elapsed_ms,
+            parent_retries=retries,
+            children_pending=n_children_pending,
         )
         self.store.commit_wave(
             crawl_id, wave, {k: v for k, v in result.__dict__.items()}
