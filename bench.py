@@ -49,6 +49,13 @@ _SHM = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 LOCAL_DIR = os.environ.get("SPARK_GRAFT_LOCAL_DIR", f"{_SHM}/spark_graft_scratch")
 WORKDIR = os.environ.get("SPARK_GRAFT_WORKDIR", f"{_SHM}/spark_graft_bench")
 SKIP_QUERIES = os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "") == "1"
+# bloom A/B: distribution (partition_local | broadcast) and the activation
+# threshold (set 0 to force the prefilter on for the A/B experiment)
+BLOOM_DIST = os.environ.get("SPARK_GRAFT_BLOOM_DIST", "partition_local")
+BLOOM_MIN_SEEN = int(os.environ.get("SPARK_GRAFT_BLOOM_MIN_SEEN", "5000000"))
+# corpus physical layout: bucketed parquet table (the production-faithful
+# shuffle-free fetch join) instead of the in-memory repartition+cache
+BUCKETED = os.environ.get("SPARK_GRAFT_BUCKETED", "") == "1"
 
 BENCH_QUERIES = [
     "progress_counts",
@@ -100,6 +107,7 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.warehouse.dir", f"{WORKDIR}/warehouse")
     )
     java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
     if java_opts:
@@ -149,9 +157,44 @@ def main() -> None:
         host_budget_per_wave=None,
         max_crawl_depth=max(5, DEPTH),
         use_bloom_prefilter=os.environ.get("SPARK_GRAFT_NO_BLOOM", "") != "1",
+        bloom_distribution=BLOOM_DIST,
+        bloom_min_seen=BLOOM_MIN_SEEN,
+        compact_shuffle_keys=os.environ.get("SPARK_GRAFT_COMPACT_KEYS", "") == "1",
     )
     store = SnapshotStore(f"{tmp}/store")
-    eng = CrawlEngine(spark, store, docs, cfg)
+    fetch_join_info = {"corpus_layout": "cached_repartition"}
+    if BUCKETED:
+        from web_crawler_spark.sources.corpus_table import (
+            count_exchanges,
+            is_bucketed_scan,
+            save_bucketed_corpus,
+        )
+
+        docs_b = save_bucketed_corpus(
+            spark, docs, "corpus_bucketed_bench", n_buckets=SHUFFLE
+        )
+        # plan probe: the fetch join against the bucketed table must show
+        # ONE Exchange (wave side only) and a bucketed corpus scan
+        probe = spark.createDataFrame(
+            [("c", doc_id_for(i, params)) for i in range(256)],
+            "crawl_id string, full_key string",
+        )
+        # disable broadcast for the probe so the plan shows the big-wave
+        # shape (sort-merge against the bucketed scan), not a tiny-probe
+        # broadcast special case
+        _abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = probe.join(docs_b, probe["full_key"] == docs_b["doc_id"], "left")
+        fetch_join_info = {
+            "corpus_layout": "bucketed_table",
+            "n_buckets": SHUFFLE,
+            "exchanges_in_fetch_join": count_exchanges(j),
+            "bucketed_scan": is_bucketed_scan(j),
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _abt)
+        eng = CrawlEngine(spark, store, docs_b, cfg, prepared=True)
+    else:
+        eng = CrawlEngine(spark, store, docs, cfg)
 
     # deterministic seed: first alive doc (root admission is retried over
     # candidates driver-side — pure python, no Spark)
@@ -254,6 +297,8 @@ def main() -> None:
         "queries": qtimes,
         "sf": sf,
         "cpus": CPUS,
+        "bloom": {"distribution": BLOOM_DIST, "min_seen": BLOOM_MIN_SEEN},
+        "fetch_join": fetch_join_info,
         "crawl": {
             "n_docs": NDOCS,
             "depth": DEPTH,

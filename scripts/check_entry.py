@@ -5,16 +5,39 @@ order-insensitive values (stringified, column-name-sorted — like the
 driver's value hash).
 
 Usage: python scripts/check_entry.py [sf_dir] [query ...]
+
+Set ``SPARK_GRAFT_FROM_ZIP=1`` to import ``web_crawler_spark`` from
+``dist/web_crawler_spark.zip`` INSTEAD of the source tree — the
+packaging-regression guard for the spark-submit --py-files path (the
+north rule's deployment mode): the gate then proves the zip alone
+carries everything the entry needs.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+_ROOT = Path(__file__).resolve().parent.parent
+if os.environ.get("SPARK_GRAFT_FROM_ZIP", "") == "1":
+    zip_path = _ROOT / "dist" / "web_crawler_spark.zip"
+    if not zip_path.exists():
+        raise SystemExit(f"missing {zip_path}; run scripts/build_pyfiles.sh")
+    # the zip must shadow the source tree for the package import, while
+    # __spark_entry__ still loads from the repo root (the driver ships it
+    # as the main file next to --py-files)
+    sys.path.insert(0, str(zip_path))
+    sys.path.insert(1, str(_ROOT))
+    import web_crawler_spark  # noqa: F401
+
+    src = Path(web_crawler_spark.__file__)
+    assert str(zip_path) in str(src), f"package not loaded from zip: {src}"
+    print(f"package imported from {src}")
+else:
+    sys.path.insert(0, str(_ROOT))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -62,6 +85,12 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("SPARK_GRAFT_FROM_ZIP", "") == "1":
+        # ship the zip to executors too (the --py-files twin): UDF
+        # closures that import web_crawler_spark resolve from it there
+        spark.sparkContext.addPyFile(
+            str(Path(__file__).resolve().parent.parent / "dist" / "web_crawler_spark.zip")
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -57,6 +57,20 @@ def test_parity_depth3(spark, corpus, docs_df, tmp_path):
         assert m[w].candidates == om["candidates"], f"wave {w} candidates"
 
 
+def test_parity_compact_shuffle_keys(spark, corpus, docs_df, tmp_path):
+    """The hash-keyed local-distinct experiment (config.py
+    compact_shuffle_keys) is a pure physical alternative: full oracle
+    parity on the crawl state."""
+    cfg = CrawlConfig(compact_shuffle_keys=True)
+    seed = good_seeds(corpus, cfg)[0]
+    oracle = OracleCrawler(corpus, cfg).crawl(seed, 3, crawl_id="c")
+    store = SnapshotStore(tmp_path / "s")
+    eng = CrawlEngine(spark, store, docs_df, cfg)
+    cid = eng.start_crawl(seed, 3, crawl_id="c")
+    eng.run_crawl(cid)
+    assert_parity(spark, store, cid, oracle)
+
+
 def test_parity_politeness_budget(spark, corpus, docs_df, tmp_path):
     """Same seed + politeness budget => identical final state AND identical
     per-wave fetch schedule (the budget binds on shared base hosts)."""
@@ -233,6 +247,39 @@ def test_fleet_waves_parity_per_member(spark, corpus, docs_df, tmp_path):
     a = _fleet_member_state(spark, store, fid, members[0])[0]
     d = _fleet_member_state(spark, store, fid, members[3])[0]
     assert set(a) == set(d)
+
+
+def test_fleet_member_cancellation(spark, corpus, docs_df, tmp_path):
+    """Cancelling ONE fleet member mid-crawl (round-2 ADVICE: this was
+    silently ignored): the member's PENDING rows become CANCELLED in an
+    updates-only snapshot, its registry status reaches 'cancelled', and
+    the OTHER members run to completion bit-identical to their oracles."""
+    seeds = good_seeds(corpus, CFG)[:3]
+    store = SnapshotStore(tmp_path / "s")
+    eng = CrawlEngine(spark, store, docs_df, CFG)
+    fid = eng.start_fleet(seeds, 4, fleet_id="fc")
+    members = store.read_crawl_meta(fid)["members"]
+    eng.run_crawl(fid, max_waves=1)          # partial progress
+    eng.cancel_crawl(members[1])             # cancel one member only
+    assert store.read_crawl_meta(members[1])["status"] == "cancelling"
+    meta = eng.run_crawl(fid)                # resumes, folds the cancel
+    assert meta["status"] == "completed"
+    assert store.read_crawl_meta(members[1])["status"] == "cancelled"
+    # the cancelled member has no PENDING rows left, and every row it
+    # did crawl is a subset of its oracle frontier
+    c_nodes, _ = _fleet_member_state(spark, store, fid, members[1])
+    assert all(v[3] != "PENDING" for v in c_nodes.values())
+    assert any(v[3] == "CANCELLED" for v in c_nodes.values())
+    oracle1 = OracleCrawler(corpus, CFG).crawl(seeds[1], 4, crawl_id=members[1])
+    o_nodes1, _ = oracle_state(oracle1)
+    assert set(c_nodes) <= set(o_nodes1)
+    # untouched members still match their oracles exactly
+    for i in (0, 2):
+        oracle = OracleCrawler(corpus, CFG).crawl(seeds[i], 4, crawl_id=members[i])
+        s_nodes, s_edges = _fleet_member_state(spark, store, fid, members[i])
+        o_nodes, o_edges = oracle_state(oracle)
+        assert s_nodes == o_nodes and s_edges == o_edges, f"member {i}"
+        assert store.read_crawl_meta(members[i])["status"] == "completed"
 
 
 def test_fleet_politeness_parity(spark, corpus, docs_df, tmp_path):

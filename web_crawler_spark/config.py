@@ -42,7 +42,19 @@ class CrawlConfig:
     use_bloom_prefilter: bool = True
     bloom_bits_per_key: int = 16      # ~0.04% FPP with 2 probes
     bloom_num_probes: int = 2
-    dedup_buckets: int = 32           # co-partition bucket count for anti-joins
+    # co-partition bucket count for the seen-set state; POWER OF TWO (the
+    # bucket id is the hash's low bits so Spark int64 and numpy uint64
+    # agree bit-exactly).  At 10^10 keys x 16 bits, per-bucket state =
+    # 20 GB/n_buckets — size so one bucket's bitmap fits a task comfortably
+    # (production: 1024 buckets => ~20 MB/task).
+    dedup_buckets: int = 32
+    # "partition_local" (default): file-backed per-bucket bitmaps; build/
+    # update/verdict are bucket-partitioned jobs and no task or the driver
+    # ever holds more than one bucket's bitmap (the north rule's design —
+    # the only one feasible at 10^10 keys).  "broadcast": round-2 path
+    # (whole bitmap dict built driver-side, broadcast each wave) — kept
+    # for A/B benchmarking and regimes where the state is tiny.
+    bloom_distribution: str = "partition_local"
     # below this seen-set size the bloom prefilter cannot pay for itself:
     # the verdict is an Arrow-batched Python stage in the middle of the
     # wave pipeline, and at local[32]/600k-docs it was measured to cost
@@ -55,6 +67,18 @@ class CrawlConfig:
     # stays first-class: incremental, persisted, equivalence-tested
     # (tests force it on with bloom_min_seen=0).
     bloom_min_seen: int = 5_000_000
+
+    # EXPERIMENT (round-3 A/B, default off): key the local-distinct
+    # groupBy on (crawl_id, parent_key, child_hash) instead of the full
+    # child URL string, recovering strings post-agg from a per-wave
+    # distinct (hash -> string) mapping join.  Trades ~32 B/row of
+    # shuffle key for an extra narrow shuffle + join; measured at 600k
+    # docs either way (BENCH/ANALYSIS.md round 3).  Caveat: trusts
+    # xxhash64 to be collision-free within one wave's candidate set
+    # (expected collisions ~n^2/2^65 — ~3 pairs at the FULL 10^10 frontier,
+    # 0 at any wave size this sandbox can hold), which is why it is an
+    # experiment flag and not the default.
+    compact_shuffle_keys: bool = False
 
     # snapshot store
     compact_every_waves: int = 8

@@ -48,6 +48,7 @@ Scale design (10^10-URL frontier, 1000 executors):
 
 from __future__ import annotations
 
+import logging
 import time
 import uuid
 from dataclasses import dataclass
@@ -66,6 +67,8 @@ from .sources.simulators import (
     fetch_outcome_py,
 )
 from .store import METRICS_SCHEMA, SnapshotStore
+
+log = logging.getLogger(__name__)
 
 PENDING, COMPLETED, FAILED, CANCELLED = "PENDING", "COMPLETED", "FAILED", "CANCELLED"
 
@@ -98,6 +101,9 @@ class WaveResult:
     # retry, and children born PENDING (non-leaf)
     parent_retries: int = 0
     children_pending: int = 0
+    # PENDING rows of individually-cancelled fleet members flipped to
+    # CANCELLED by this wave's updates delta
+    cancelled: int = 0
 
 
 class CrawlEngine:
@@ -217,6 +223,7 @@ class CrawlEngine:
             .collect()
         }
         rows, members = [], []
+        registry: dict[str, dict] = {}
         for i, (seed_url, (name, proto)) in enumerate(zip(seed_urls, norm)):
             crawl_id = f"{fleet_id}-c{i:05d}"
             seed_key = proto + name
@@ -244,8 +251,13 @@ class CrawlEngine:
                 rows.append(
                     (crawl_id, seed_key, name, proto, 0, requested_depth, 0)
                 )
-            self.store.write_crawl_meta(meta)
+            registry[crawl_id] = meta
             members.append(crawl_id)
+        # ONE registry write for the whole fleet (round-2 wrote one
+        # crawl.json per member driver-side — 2,000 members = 2,000 file
+        # round-trips before the first wave; the registry is a single
+        # atomic JSON the per-member read/write APIs route through)
+        self.store.write_member_metas(fleet_id, registry)
         self.store.write_crawl_meta(
             {
                 "crawl_id": fleet_id,
@@ -288,16 +300,18 @@ class CrawlEngine:
         meta = self.store.read_crawl_meta(crawl_id)
         if meta["status"] in ("failed", "cancelled", "completed"):
             return meta
-        from .operators.dedup import IncrementalBloom
+        from .operators.dedup import BloomState, BroadcastBloom
 
         self.store.clean_uncommitted(crawl_id)
         committed = self.store.committed_waves(crawl_id)
         wave = (committed[-1] + 1) if committed else 1
+        bloom_root = self.store.crawl_dir(crawl_id) / "bloom"
+        partition_local = self.cfg.bloom_distribution == "partition_local"
 
         waves_done = 0
         frontier: DataFrame | None = None
         n_seen = n_pending = 0
-        bloom: IncrementalBloom | None = None
+        bloom = None  # BloomState | BroadcastBloom | None
         try:
             while True:
                 meta = self.store.read_crawl_meta(crawl_id)
@@ -305,6 +319,12 @@ class CrawlEngine:
                     self._cancel_wave(crawl_id, wave)
                     meta["status"] = "cancelled"
                     self.store.write_crawl_meta(meta)
+                    if meta.get("is_fleet"):  # members follow the fleet
+                        reg = self.store.read_member_metas(crawl_id)
+                        for m in reg.values():
+                            if m["status"] in ("running", "cancelling"):
+                                m["status"] = "cancelled"
+                        self.store.write_member_metas(crawl_id, reg)
                     return meta
                 if max_waves is not None and waves_done >= max_waves:
                     return meta
@@ -317,22 +337,38 @@ class CrawlEngine:
                     frontier, n_seen, n_pending = self._materialize_frontier(
                         self.store.frontier(self.spark, crawl_id)
                     )
-                    if committed:  # resume: reuse persisted bloom state if
-                        # it matches the last committed wave exactly
-                        bloom = IncrementalBloom.load(
-                            self.store.wave_dir(crawl_id, committed[-1])
-                            / "bloom.npz",
-                            self.cfg,
-                            expect_wave=committed[-1],
+                    if committed and partition_local:
+                        # resume: reuse persisted per-bucket state only if
+                        # its manifest matches the last committed wave
+                        # (BroadcastBloom is never persisted — rebuilt)
+                        bloom = BloomState.load(
+                            bloom_root, self.cfg, expect_wave=committed[-1]
                         )
+
+                # individually-cancelled fleet members (round-2 ADVICE:
+                # these were silently ignored): their PENDING rows are
+                # excluded from eligibility and flipped to CANCELLED by
+                # the NEXT wave's own updates delta — no extra snapshot,
+                # so BFS wave numbering (and oracle parity for the other
+                # members) is untouched.
+                cancel_ids: list[str] = []
+                reg: dict[str, dict] = {}
+                if meta.get("is_fleet"):
+                    reg = self.store.read_member_metas(crawl_id)
+                    cancel_ids = sorted(
+                        m for m, v in reg.items() if v["status"] == "cancelling"
+                    )
+
                 if n_pending == 0:
                     meta["status"] = "completed"
                     self.store.write_crawl_meta(meta)
-                    for member in meta.get("members", []):  # fleet members
-                        m = self.store.read_crawl_meta(member)
-                        if m["status"] == "running":
-                            m["status"] = "completed"
-                            self.store.write_crawl_meta(m)
+                    if meta.get("is_fleet"):  # batch member completion
+                        for m in reg.values():
+                            if m["status"] == "running":
+                                m["status"] = "completed"
+                            elif m["status"] == "cancelling":
+                                m["status"] = "cancelled"  # nothing pending
+                        self.store.write_member_metas(crawl_id, reg)
                     return meta
                 # incremental bloom lifecycle: build once the seen set is
                 # worth prefiltering, grow by full rebuild when outgrown;
@@ -343,31 +379,36 @@ class CrawlEngine:
                     and n_seen >= self.cfg.bloom_min_seen
                 )
                 if use_bloom and (bloom is None or bloom.needs_rebuild(n_seen)):
-                    bloom = IncrementalBloom.build(
-                        frontier.select(
-                            F.xxhash64("crawl_id", "full_key").alias("url_hash")
-                        ),
-                        self.cfg,
-                        n_seen,
+                    seen_hashed = frontier.select(
+                        F.xxhash64("crawl_id", "full_key").alias("url_hash")
                     )
+                    if partition_local:
+                        # state as of the last committed wave (= wave-1)
+                        bloom = BloomState.build(
+                            seen_hashed, self.cfg, n_seen, bloom_root, wave - 1
+                        )
+                    else:
+                        bloom = BroadcastBloom.build(seen_hashed, self.cfg, n_seen)
                 elif not use_bloom:
                     bloom = None
-                eligible = self._eligible(frontier, n_pending)
+                eligible = self._eligible(
+                    frontier, n_pending, exclude_crawl_ids=cancel_ids
+                )
                 result = self._run_wave(
                     crawl_id, wave, eligible, seen=frontier, is_root=False,
-                    n_seen=n_seen, bloom=bloom,
+                    bloom=bloom, cancel_ids=cancel_ids,
                 )
-                if bloom is not None:  # post-commit best-effort cache
-                    bloom.save(
-                        self.store.wave_dir(crawl_id, wave) / "bloom.npz", wave
-                    )
+                if cancel_ids:  # the wave committed their CANCELLED rows
+                    for m in cancel_ids:
+                        reg[m]["status"] = "cancelled"
+                    self.store.write_member_metas(crawl_id, reg)
                 # pending/seen bookkeeping by WAVE ARITHMETIC (cross-checked
                 # against the merge job's observed counts): every eligible
                 # parent left PENDING except retries; children are born
                 # PENDING unless leaves; politeness-deferred parents stayed
-                # PENDING untouched.
+                # PENDING untouched; cancelled members' rows left PENDING.
                 n_pending_arith = (
-                    (n_pending - result.fetched)
+                    (n_pending - result.fetched - result.cancelled)
                     + result.parent_retries
                     + result.children_pending
                 )
@@ -381,10 +422,17 @@ class CrawlEngine:
                     merged,
                     checkpoint=(wave % self.cfg.compact_every_waves == 0),
                 )
-                assert n_pending == n_pending_arith, (
-                    f"wave {wave}: pending arithmetic {n_pending_arith} != "
-                    f"observed {n_pending} (engine bookkeeping bug)"
-                )
+                if n_pending != n_pending_arith:
+                    # the observed count from the merge job is authoritative;
+                    # the arithmetic twin is a live invariant check — log
+                    # loudly and continue on the observed value (a bare
+                    # assert vanished under -O and aborted the whole crawl
+                    # on a driver-side bookkeeping slip, round-2 ADVICE)
+                    log.error(
+                        "wave %d: pending arithmetic %d != observed %d "
+                        "(engine bookkeeping bug — continuing on observed)",
+                        wave, n_pending_arith, n_pending,
+                    )
                 frontier.unpersist()
                 frontier = merged
                 wave += 1
@@ -429,14 +477,23 @@ class CrawlEngine:
         n_rows = df.count()
         return df, n_rows, int(obs.get["n_pending"] or 0)
 
-    def _eligible(self, frontier: DataFrame, n_pending: int) -> DataFrame:
+    def _eligible(
+        self,
+        frontier: DataFrame,
+        n_pending: int,
+        exclude_crawl_ids: list[str] | None = None,
+    ) -> DataFrame:
         """PENDING rows, capped per host by the politeness budget (W1).
 
         Exact top-B per host in sorted full-key order, computed skew-safely
         in two stages: (1) top-B within (host, salt) buckets — bounds any
         single window partition; (2) exact top-B over the ≤ S*B survivors.
+        ``exclude_crawl_ids``: cancelling fleet members — their PENDING
+        rows are never claimed (the wave flips them to CANCELLED instead).
         """
         pending = frontier.filter(F.col("status") == PENDING)
+        if exclude_crawl_ids:
+            pending = pending.filter(~F.col("crawl_id").isin(exclude_crawl_ids))
         budget = self.cfg.host_budget_per_wave
         if budget is None or n_pending == 0:
             return pending
@@ -462,9 +519,9 @@ class CrawlEngine:
         parents: DataFrame,
         seen: DataFrame | None,
         is_root: bool,
-        n_seen: int | None = None,
         root_fetched: int = 1,
-        bloom=None,  # IncrementalBloom state managed by run_crawl
+        bloom=None,  # BloomState | BroadcastBloom, managed by run_crawl
+        cancel_ids: list[str] | None = None,
     ) -> WaveResult:
         t0 = time.time()
         cfg = self.cfg
@@ -533,26 +590,42 @@ class CrawlEngine:
         # aggregates instead of widening the key tuple.
         c_name, c_http = normalize_cols(F.col("raw"))
         canon = links.withColumn("child_full", F.concat(c_http, c_name))
-        local = (
-            canon.groupBy("crawl_id", "parent_key", "child_full")
-            .agg(
-                F.min("pos").alias("pos"),
-                F.count("*").alias("n_raw"),
-                F.min("parent_depth").alias("parent_depth"),
-                F.min("requested_depth").alias("requested_depth"),
-                F.min("latency_ms").alias("latency_ms"),
+        agg_cols = [
+            F.min("pos").alias("pos"),
+            F.count("*").alias("n_raw"),
+            F.min("parent_depth").alias("parent_depth"),
+            F.min("requested_depth").alias("requested_depth"),
+            F.min("latency_ms").alias("latency_ms"),
+        ]
+        if cfg.compact_shuffle_keys:
+            # A/B experiment (config.py): shuffle the 8-byte child hash as
+            # the grouping key instead of the ~40-byte URL string; strings
+            # are recovered post-agg from a per-wave distinct mapping.
+            # Map-side partial agg dedups both paths identically — the
+            # difference is key bytes vs one extra narrow shuffle + join.
+            canon_h = canon.withColumn("child_hash", F.xxhash64("child_full"))
+            mapping = canon_h.select(
+                "crawl_id", "child_hash", "child_full"
+            ).dropDuplicates(["crawl_id", "child_hash"])
+            local = (
+                canon_h.groupBy("crawl_id", "parent_key", "child_hash")
+                .agg(*agg_cols)
+                .join(mapping, ["crawl_id", "child_hash"], "inner")
             )
-            .withColumn("child_hash", F.xxhash64("child_full"))
-            .withColumn(
-                "child_http",
-                F.when(
-                    F.col("child_full").startswith("HTTPS://"), F.lit("HTTPS://")
-                ).otherwise(F.lit("HTTP://")),
+        else:
+            local = (
+                canon.groupBy("crawl_id", "parent_key", "child_full")
+                .agg(*agg_cols)
+                .withColumn("child_hash", F.xxhash64("child_full"))
             )
-            .withColumn(
-                "child_name",
-                F.regexp_replace(F.col("child_full"), "^HTTPS?://", ""),
-            )
+        local = local.withColumn(
+            "child_http",
+            F.when(
+                F.col("child_full").startswith("HTTPS://"), F.lit("HTTPS://")
+            ).otherwise(F.lit("HTTP://")),
+        ).withColumn(
+            "child_name",
+            F.regexp_replace(F.col("child_full"), "^HTTPS?://", ""),
         )
 
         # ---- seen-set dedup (J1): bloom stage 1 + exact stage 2 ----
@@ -564,12 +637,10 @@ class CrawlEngine:
         # are never mixed.
         to_unpersist: list[DataFrame] = []
         bcast = None
-        # below cfg.bloom_min_seen the bloom-build job costs more than the
-        # exact join it would trim (round-1 lever #2); unknown n_seen
-        # (direct _run_wave callers) keeps the prefilter on
-        use_bloom = cfg.use_bloom_prefilter and (
-            bloom is not None or n_seen is None or n_seen >= cfg.bloom_min_seen
-        )
+        # the prefilter runs only when run_crawl decided the seen set is
+        # worth it and handed over live state (below cfg.bloom_min_seen
+        # the bloom stage costs more than the exact join it would trim)
+        use_bloom = cfg.use_bloom_prefilter and bloom is not None
         if seen is not None:
             seen_keys = seen.select(
                 "crawl_id",
@@ -578,32 +649,28 @@ class CrawlEngine:
                 F.lit(True).alias("_seen"),
             )
             if use_bloom:
-                # stage 1: partition-local bloom verdict (no false
-                # negatives) — certainly-fresh candidates skip the exact
-                # join shuffle entirely.  Narrow scalar UDF: only the
-                # hash column crosses the Arrow boundary (dedup.py).
+                # stage 1: bloom verdict (no false negatives) — certainly-
+                # fresh candidates skip the exact join shuffle entirely.
                 # The bloom key is crawl-scoped (xxhash64(crawl_id, key)):
                 # under fleet waves, one crawl's seen URL must not shadow
                 # another crawl's fresh candidate (isolation, SURVEY §1.1);
                 # cross-crawl false positives would only cost exact-join
                 # rows, but scoping keeps the prefilter effective too.
-                from .operators.dedup import bloom_maybe_seen_udf, build_bloom_bitmaps
+                from .operators.dedup import BloomState, bloom_maybe_seen_udf
 
-                if bloom is not None:
-                    # incremental state: no frontier scan this wave
-                    bitmaps = bloom.bitmap_bytes()
+                bloom_key = F.xxhash64("crawl_id", "child_full")
+                if isinstance(bloom, BloomState):
+                    # partition-local: candidates co-partitioned with the
+                    # per-bucket bitmap FILES; each task holds one bucket's
+                    # bitmap (total/n_buckets bytes) — no driver state, no
+                    # whole-state broadcast (the 10^10-point design)
+                    flagged = bloom.verdict(local, bloom_key).persist()
                 else:
-                    seen_hashed = seen.select(
-                        F.xxhash64("crawl_id", "full_key").alias("url_hash")
-                    )
-                    bitmaps = build_bloom_bitmaps(seen_hashed, cfg, n_seen=n_seen)
-                bcast = self.spark.sparkContext.broadcast(bitmaps)
-                flagged = local.withColumn(
-                    "maybe_seen",
-                    bloom_maybe_seen_udf(bcast, cfg)(
-                        F.xxhash64("crawl_id", "child_full")
-                    ),
-                ).persist()
+                    # broadcast twin (A/B benchmarking; small-state regime)
+                    bcast = self.spark.sparkContext.broadcast(bloom.bitmap_bytes())
+                    flagged = local.withColumn(
+                        "maybe_seen", bloom_maybe_seen_udf(bcast, cfg)(bloom_key)
+                    ).persist()
                 to_unpersist.append(flagged)
                 certain = (
                     flagged.filter(~F.col("maybe_seen"))
@@ -758,6 +825,32 @@ class CrawlEngine:
         else:
             updates, upd_obs = None, None
 
+        # ---- cancelled fleet members ride this wave's updates delta ----
+        # (their rows were excluded from `parents`, so no fetch happened;
+        # an Observation carries the flipped-row count for the driver's
+        # pending arithmetic — zero extra jobs)
+        cancel_obs = None
+        if cancel_ids and seen is not None:
+            cancel_obs = Observation()
+            cancel_upd = (
+                seen.filter(
+                    (F.col("status") == PENDING)
+                    & F.col("crawl_id").isin(cancel_ids)
+                )
+                .select(
+                    "crawl_id",
+                    "url_hash",
+                    "full_key",
+                    F.lit(CANCELLED).alias("status"),
+                    F.col("attempts").cast("int").alias("attempts"),
+                    F.lit(wave).alias("wave"),
+                )
+                .observe(cancel_obs, F.count(F.lit(1)).alias("n_cancelled"))
+            )
+            updates = (
+                cancel_upd if updates is None else updates.unionByName(cancel_upd)
+            )
+
         # ---- metrics pass FIRST: materializes the cand cache at full
         # parallelism.  The delta writes below are coalesced to few files;
         # if one of them were the first action, its coalesce would pull
@@ -814,12 +907,18 @@ class CrawlEngine:
 
         if bloom is not None:
             # O(wave) incremental maintenance: OR this wave's insert keys
-            # into the driver-held state (children is cached; shuffle-free)
-            bloom.update(
-                children.select(
-                    F.xxhash64("crawl_id", "full_key").alias("url_hash")
-                )
+            # into the state.  Partition-local: a bucket-partitioned job
+            # writes only the touched buckets' files + a new manifest;
+            # broadcast: driver-side dict OR (children is cached).
+            from .operators.dedup import BloomState
+
+            delta = children.select(
+                F.xxhash64("crawl_id", "full_key").alias("url_hash")
             )
+            if isinstance(bloom, BloomState):
+                bloom.update(delta, wave)
+            else:
+                bloom.update(delta)
 
         if upd_obs is not None:
             og = upd_obs.get
@@ -829,6 +928,7 @@ class CrawlEngine:
         else:  # wave 0: the root(s) were pre-admitted driver-side
             fetched, ok, timeouts, n_failed = root_fetched, root_fetched, 0, 0
             retries = 0
+        n_cancelled = int(cancel_obs.get["n_cancelled"]) if cancel_obs else 0
 
         elapsed_ms = int((time.time() - t0) * 1000)
         metrics_rows = [
@@ -861,6 +961,7 @@ class CrawlEngine:
             elapsed_ms=elapsed_ms,
             parent_retries=retries,
             children_pending=n_children_pending,
+            cancelled=n_cancelled,
         )
         self.store.commit_wave(
             crawl_id, wave, {k: v for k, v in result.__dict__.items()}
@@ -880,31 +981,36 @@ class CrawlEngine:
     ) -> DataFrame:
         """Fold one committed wave's deltas into the cached frontier:
         apply this wave's status updates to existing rows, append its
-        inserts.  Reads only the new wave's files."""
+        inserts.  Reads only the new wave's files; updates-only waves
+        (member cancellation) simply have no inserts file."""
         from .store import FRONTIER_SCHEMA, UPDATES_SCHEMA
 
         wd = self.store.wave_dir(crawl_id, wave)
-        ins = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
-            str(wd / "inserts.parquet")
-        )
-        upd = (
-            self.spark.read.schema(UPDATES_SCHEMA)
-            .parquet(str(wd / "updates.parquet"))
-            .select(
-                "crawl_id",
-                "url_hash",
-                "full_key",
-                F.col("status").alias("_u_status"),
-                F.col("attempts").alias("_u_attempts"),
+        merged = prev
+        if (wd / "updates.parquet").exists():
+            upd = (
+                self.spark.read.schema(UPDATES_SCHEMA)
+                .parquet(str(wd / "updates.parquet"))
+                .select(
+                    "crawl_id",
+                    "url_hash",
+                    "full_key",
+                    F.col("status").alias("_u_status"),
+                    F.col("attempts").alias("_u_attempts"),
+                )
             )
-        )
-        merged = (
-            prev.join(upd, ["crawl_id", "url_hash", "full_key"], "left")
-            .withColumn("status", F.coalesce("_u_status", "status"))
-            .withColumn("attempts", F.coalesce("_u_attempts", "attempts"))
-            .drop("_u_status", "_u_attempts")
-        )
-        return merged.unionByName(ins)
+            merged = (
+                prev.join(upd, ["crawl_id", "url_hash", "full_key"], "left")
+                .withColumn("status", F.coalesce("_u_status", "status"))
+                .withColumn("attempts", F.coalesce("_u_attempts", "attempts"))
+                .drop("_u_status", "_u_attempts")
+            )
+        if (wd / "inserts.parquet").exists():
+            ins = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+                str(wd / "inserts.parquet")
+            )
+            merged = merged.unionByName(ins)
+        return merged
 
     def _cancel_wave(self, crawl_id: str, wave: int) -> None:
         """Turn every PENDING row into CANCELLED in one updates-only

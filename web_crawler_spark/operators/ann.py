@@ -87,6 +87,62 @@ def signature_col(qv: F.Column, planes: np.ndarray) -> F.Column:
     return F.concat(*bits)
 
 
+def near_dup_candidates_lsh(
+    vectors: DataFrame,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 7,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH self-join — the 100 TB
+    plan: pairs only from shared (table, signature) buckets, deduped.
+
+    vectors(vec_id, v) -> (id_a, id_b, va, vb), id_a < id_b.
+
+    ``bucket_cap`` (axis B): a near-dup-heavy corpus piles into few
+    buckets and the self-join goes quadratic in the hottest bucket;
+    capping each (table, signature) bucket to its first N vec_ids (a
+    deterministic row_number window — same pattern as the crawl
+    politeness queue) bounds any bucket's contribution to N^2/2 pairs.
+    The cap is applied to the bucket MEMBERSHIP (both join sides see the
+    same capped set), so the output stays a subset of the uncapped one
+    and the DuckDB oracle can replicate it exactly.
+    """
+    planes = hyperplanes(dim, n_planes, n_tables, seed)
+    sigs = vectors.withColumn("_qv", quantize_col(F.col("v"))).select(
+        "vec_id",
+        "v",
+        *[
+            signature_col(F.col("_qv"), planes[t]).alias(f"sig{t}")
+            for t in range(n_tables)
+        ],
+    )
+    pairs = None
+    for t in range(n_tables):
+        side = sigs
+        if bucket_cap is not None:
+            w_cap = Window.partitionBy(f"sig{t}").orderBy("vec_id")
+            side = (
+                sigs.withColumn("_rn", F.row_number().over(w_cap))
+                .filter(F.col("_rn") <= bucket_cap)
+                .drop("_rn")
+            )
+        a = side.select(
+            F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+            F.col(f"sig{t}").alias("_s"),
+        )
+        b = side.select(
+            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+            F.col(f"sig{t}").alias("_s"),
+        )
+        p = a.join(b, "_s").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "va", "vb"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -19,29 +19,82 @@ filter keyed by canonicalized URL hash"):
 Why this matters at 10^10 URLs: in a converging crawl most extracted
 links are already-seen duplicates, and the exact anti-join shuffles the
 full candidate set every wave.  The bloom keeps its verdict
-partition-local (bitmaps keyed by ``pmod(url_hash, n_buckets)``, the
-same bucketing the frontier tables use), so the certainly-fresh majority
-of *new-frontier* links never enters the join shuffle, and only true
-duplicates + the ~0.04% false-positive tail pay for the exact check.
+partition-local, so the certainly-fresh majority of *new-frontier* links
+never enters the join shuffle, and only true duplicates + the ~0.04%
+false-positive tail pay for the exact check.
 
-Sandbox simplification (documented, not hidden): bitmaps are rebuilt
-from the cached frontier each wave (one narrow map+reduce job, bitmaps
-collected driver-side and broadcast).  In production the bitmaps are
-persisted per bucket in the snapshot store and updated incrementally
-with each wave's inserts, so neither a frontier scan nor its shuffle is
-needed per wave.
+Distribution (the 10^10-row design point, round-3 redesign)
+-----------------------------------------------------------
+``BloomState`` is **file-backed and partition-local end-to-end** — the
+round-2 design held every bucket's bitmap in one driver dict and
+broadcast the whole dict to every executor each wave, which at
+n_seen=10^10 x 16 bits/key is ~40 GB of driver memory AND ~40 GB of
+broadcast per wave.  Now:
+
+* State lives as one bitmap **file per bucket** in the snapshot store
+  (the stand-in for a distributed FS; Iceberg would carry these as
+  puffin/side files next to the table), referenced by an atomic
+  ``manifest.json``.  Nothing bloom-sized ever lives on the driver.
+* **build/update are distributed jobs**: seen/delta keys are shuffled
+  *by bucket* (each bucket's keys land in one task), each task builds or
+  ORs only *its* buckets' bitmaps and writes them back.  Per-task memory
+  = bitmaps of the buckets in that task ~= total_bits / n_buckets.
+* **verdict is partition-local**: candidates are co-partitioned by the
+  same bucket key and sorted within partitions, so each task streams
+  bucket-contiguous Arrow batches and holds AT MOST ONE bucket bitmap
+  resident at a time (``_PartitionLocalTester``) — per-task state is
+  exactly total_bits / n_buckets, as the north rule specifies.
+* **incremental manifests**: a wave's update writes new files only for
+  buckets its delta touched and carries the other buckets' paths forward
+  (Iceberg-manifest style) — per-wave maintenance I/O is O(wave), not
+  O(state).
+
+The bucket of a key is the low ``log2(n_buckets)`` bits of its uint64
+xxhash64 (``n_buckets`` must be a power of two): Spark-side
+``bitwiseAND(n_buckets-1)`` and numpy-side ``% uint64(n_buckets)`` agree
+exactly for every signed/unsigned reinterpretation.
+
+``build_bloom_bitmaps`` / ``bloom_maybe_seen`` keep the round-2
+*broadcast* distribution for A/B benchmarking and small fleets where one
+broadcast genuinely beats a candidate repartition; the engine defaults to
+the partition-local path (``CrawlConfig.bloom_distribution``).
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
 import numpy as np
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F  # noqa: F401 — kept for callers
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import CrawlConfig
 
 _WORD_BITS = 64
+
+
+def _require_pow2(n_buckets: int) -> None:
+    if n_buckets <= 0 or (n_buckets & (n_buckets - 1)) != 0:
+        raise ValueError(
+            f"dedup_buckets must be a power of two (got {n_buckets}): the "
+            "bucket id is the hash's low bits so Spark (signed int64) and "
+            "numpy (uint64) agree bit-exactly"
+        )
+
+
+def bucket_of_np(h_signed: np.ndarray, n_buckets: int) -> np.ndarray:
+    """uint64 bucket id of a signed-int64 hash array (low-bits for pow2)."""
+    return (h_signed.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def bucket_col(hash_col: F.Column, n_buckets: int) -> F.Column:
+    """Spark twin of :func:`bucket_of_np` — low ``log2(n)`` bits."""
+    return hash_col.bitwiseAND(F.lit(n_buckets - 1))
 
 
 def _bucket_bits(cfg: CrawlConfig, expected_keys_per_bucket: int = 1 << 16) -> int:
@@ -95,6 +148,10 @@ def _test_bits(bitmap: np.ndarray, positions: np.ndarray) -> np.ndarray:
     return (words & mask) != 0
 
 
+# ---------------------------------------------------------------------------
+# broadcast distribution (round-2 path, kept for A/B + small seen sets)
+# ---------------------------------------------------------------------------
+
 def build_bloom_bitmaps(
     seen: DataFrame,
     cfg: CrawlConfig,
@@ -103,20 +160,22 @@ def build_bloom_bitmaps(
     m_bits: int | None = None,
     shuffle: bool = True,
 ) -> dict[int, bytes]:
-    """Per-bucket bloom bitmaps of a key set.
+    """Per-bucket bloom bitmaps of a key set, collected driver-side.
 
     One narrow job: mapInPandas emits (bucket, partial-bitmap) pairs —
     a map-side reduction; the driver ORs partials per bucket.  Nothing
-    about the frontier is shuffled when ``shuffle=False`` (the
-    incremental-delta path: small input, one partial set per input
-    partition); with ``shuffle=True`` keys are bucketed first so each
-    task emits exactly one bitmap (the full-rebuild path).  Bitmaps are
+    about the frontier is shuffled when ``shuffle=False`` (small input,
+    one partial set per input partition); with ``shuffle=True`` keys are
+    bucketed first so each task emits exactly one bitmap.  Bitmaps are
     self-describing: the test path derives m_bits from each bitmap's
-    length, so adaptive sizing (``n_seen``) needs no config round-trip;
-    pass ``m_bits`` explicitly to match an existing incremental state
-    (ORing bitmaps is only meaningful at identical sizing).
+    length, so adaptive sizing (``n_seen``) needs no config round-trip.
+
+    This is the BROADCAST distribution: fine when total_bits fits
+    comfortably in driver + executor memory, infeasible at the 10^10
+    design point — use :class:`BloomState` there.
     """
     n_buckets = cfg.dedup_buckets
+    _require_pow2(n_buckets)
     if m_bits is None:
         m_bits = bucket_bits_for(cfg, n_seen)
     n_probes = cfg.bloom_num_probes
@@ -126,11 +185,12 @@ def build_bloom_bitmaps(
 
         acc: dict[int, np.ndarray] = {}
         for pdf in batches:
-            h = pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
-            buckets = (h % np.uint64(n_buckets)).astype(np.int64)
+            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            buckets = bucket_of_np(h, n_buckets)
+            hu = h.astype(np.uint64)
             for b in np.unique(buckets):
                 bm = acc.setdefault(int(b), np.zeros(m_bits // _WORD_BITS, np.uint64))
-                hb = h[buckets == b]
+                hb = hu[buckets == b]
                 for pos in _probe_positions(hb, n_probes, m_bits):
                     _set_bits(bm, pos)
         yield pd.DataFrame(
@@ -142,7 +202,7 @@ def build_bloom_bitmaps(
         # one shuffle of (url_hash) only, bucket-per-partition: each task
         # emits exactly one bitmap, so the driver collects n_buckets
         # bitmaps total instead of n_partitions x n_buckets partials
-        keys = keys.repartition(n_buckets, F.pmod(F.col(hash_col), F.lit(n_buckets)))
+        keys = keys.repartition(n_buckets, bucket_col(F.col(hash_col), n_buckets))
     rows = keys.mapInPandas(partial, schema="bucket int, bitmap binary").collect()
     out: dict[int, np.ndarray] = {}
     for r in rows:
@@ -154,90 +214,6 @@ def build_bloom_bitmaps(
     return {b: bm.tobytes() for b, bm in out.items()}
 
 
-class IncrementalBloom:
-    """Driver-held, incrementally-updated bloom state for one crawl.
-
-    The production design sketched in round 1 is now implemented: instead
-    of re-scanning the full frontier every wave (O(crawl) work per wave —
-    the killer at a 10^10-row frontier), the bitmaps are built once,
-    updated with each wave's *inserts only* (O(wave) work, shuffle-free),
-    and persisted next to the wave snapshot for resume.  When the seen
-    set outgrows the sized capacity, the state is rebuilt at doubled
-    capacity — hash-table-style amortized growth, O(log n) rebuilds per
-    crawl.  ORing delta bitmaps into the state is exact (bit-set union at
-    identical m_bits), so incremental == full rebuild, tested.
-
-    Correctness invariant: the state must never MISS a seen key (a false
-    negative lets a duplicate skip the exact join), so persisted state is
-    only loaded when its recorded wave equals the store's last committed
-    wave; anything else falls back to a full rebuild.
-    """
-
-    def __init__(
-        self, cfg: CrawlConfig, bitmaps: dict[int, np.ndarray],
-        m_bits: int, capacity: int,
-    ) -> None:
-        self.cfg = cfg
-        self.bitmaps = bitmaps
-        self.m_bits = m_bits
-        self.capacity = capacity
-
-    # -- lifecycle ---------------------------------------------------------
-    @classmethod
-    def build(cls, seen_keys: DataFrame, cfg: CrawlConfig, n_seen: int):
-        """Full rebuild from the current seen set, sized for 2x headroom."""
-        capacity = max(2 * n_seen, 2 * cfg.bloom_min_seen, 1 << 17)
-        m_bits = bucket_bits_for(cfg, max(1 << 12, capacity // cfg.dedup_buckets))
-        raw = build_bloom_bitmaps(seen_keys, cfg, m_bits=m_bits, shuffle=True)
-        bitmaps = {b: np.frombuffer(v, dtype=np.uint64).copy() for b, v in raw.items()}
-        return cls(cfg, bitmaps, m_bits, capacity)
-
-    def needs_rebuild(self, n_seen: int) -> bool:
-        return n_seen > self.capacity
-
-    def update(self, delta_keys: DataFrame) -> None:
-        """OR one wave's insert keys into the state (shuffle-free job).
-        Coalesced to a few tasks: each task emits one partial bitmap set
-        (n_buckets x bucket_bytes), so fewer tasks = less to collect."""
-        raw = build_bloom_bitmaps(
-            delta_keys.coalesce(8), self.cfg, m_bits=self.m_bits, shuffle=False
-        )
-        for b, v in raw.items():
-            arr = np.frombuffer(v, dtype=np.uint64)
-            cur = self.bitmaps.get(b)
-            self.bitmaps[b] = arr.copy() if cur is None else (cur | arr)
-
-    def bitmap_bytes(self) -> dict[int, bytes]:
-        return {b: bm.tobytes() for b, bm in self.bitmaps.items()}
-
-    # -- persistence (best-effort cache; loader verifies the wave) ---------
-    def save(self, path, wave: int) -> None:
-        arrays = {f"b{b}": bm for b, bm in self.bitmaps.items()}
-        np.savez(
-            path,
-            meta=np.array([wave, self.m_bits, self.capacity], dtype=np.int64),
-            **arrays,
-        )
-
-    @classmethod
-    def load(cls, path, cfg: CrawlConfig, expect_wave: int):
-        """Load persisted state; None unless it matches ``expect_wave``
-        exactly (stale state would have false negatives => duplicates)."""
-        try:
-            with np.load(path) as z:
-                wave, m_bits, capacity = (int(x) for x in z["meta"])
-                if wave != expect_wave:
-                    return None
-                bitmaps = {
-                    int(k[1:]): z[k].astype(np.uint64)
-                    for k in z.files
-                    if k.startswith("b")
-                }
-        except (OSError, KeyError, ValueError):
-            return None
-        return cls(cfg, bitmaps, m_bits, capacity)
-
-
 def _test_hashes(bitmaps: dict, h_signed: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
     """Vectorized bloom membership verdict for an int64 hash array.
     m_bits is derived per bucket from the bitmap's own length, so it
@@ -245,7 +221,7 @@ def _test_hashes(bitmaps: dict, h_signed: np.ndarray, cfg: CrawlConfig) -> np.nd
     n_buckets = cfg.dedup_buckets
     h = h_signed.astype(np.uint64)
     verdict = np.zeros(len(h), dtype=bool)
-    buckets = (h % np.uint64(n_buckets)).astype(np.int64)
+    buckets = bucket_of_np(h_signed, n_buckets)
     for b in np.unique(buckets):
         bm = bitmaps.get(int(b))
         if bm is None:  # empty bucket => certainly fresh
@@ -260,13 +236,11 @@ def _test_hashes(bitmaps: dict, h_signed: np.ndarray, cfg: CrawlConfig) -> np.nd
 
 
 def bloom_maybe_seen_udf(bitmaps_bcast, cfg: CrawlConfig):
-    """Scalar pandas UDF ``url_hash -> maybe_seen`` (no false negatives).
+    """Scalar pandas UDF ``url_hash -> maybe_seen`` over BROADCAST bitmaps.
 
     Narrow by construction: only the hash column crosses the Arrow
-    boundary (the wide mapInPandas variant ships every candidate column
-    through Python — profiled as the wave bottleneck, workers mostly
-    socket-waiting).  Catalyst batches this UDF together with the DNS UDF
-    into a single ArrowEvalPython pass when both appear in one projection.
+    boundary.  Kept for A/B benchmarking against the partition-local
+    path; at the 10^10 design point the broadcast itself is the problem.
     """
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
@@ -288,12 +262,8 @@ def bloom_maybe_seen(
     cfg: CrawlConfig,
     hash_col: str = "child_hash",
 ) -> DataFrame:
-    """Stage-1 verdict column ``maybe_seen`` (no false negatives).
-
-    Candidates are tested against their bucket's bitmap inside
-    mapInPandas — vectorized numpy over Arrow batches, zero per-row
-    Python.  Schema in == schema out + the flag column.
-    """
+    """Stage-1 verdict column ``maybe_seen`` from BROADCAST bitmaps
+    (no false negatives).  Schema in == schema out + the flag column."""
     n_buckets = cfg.dedup_buckets
     n_probes = cfg.bloom_num_probes
     # fresh StructType — StructType.add would MUTATE cand's cached schema
@@ -307,9 +277,10 @@ def bloom_maybe_seen(
             for b, v in bitmaps_bcast.value.items()
         }
         for pdf in batches:
-            h = pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
+            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            hu = h.astype(np.uint64)
             verdict = np.zeros(len(pdf), dtype=bool)
-            buckets = (h % np.uint64(n_buckets)).astype(np.int64)
+            buckets = bucket_of_np(h, n_buckets)
             for b in np.unique(buckets):
                 bm = bitmaps.get(int(b))
                 sel = buckets == b
@@ -317,7 +288,7 @@ def bloom_maybe_seen(
                     continue
                 m_bits = len(bm) * _WORD_BITS
                 hits = np.ones(int(sel.sum()), dtype=bool)
-                for pos in _probe_positions(h[sel], n_probes, m_bits):
+                for pos in _probe_positions(hu[sel], n_probes, m_bits):
                     hits &= _test_bits(bm, pos)
                 verdict[sel] = hits
             pdf = pdf.copy()
@@ -325,3 +296,351 @@ def bloom_maybe_seen(
             yield pdf
 
     return cand.mapInPandas(test, schema=out_schema)
+
+
+class BroadcastBloom:
+    """Round-2 distribution: driver-held incremental bitmaps, broadcast
+    whole to every executor each wave.  Kept ONLY for A/B benchmarking
+    against :class:`BloomState` and for regimes where the entire state is
+    a few MB — at the 10^10 design point (~40 GB of state) this shape is
+    infeasible by construction, which is exactly what round 3's
+    partition-local redesign fixes.  Not persisted (resume rebuilds)."""
+
+    def __init__(
+        self, cfg: CrawlConfig, bitmaps: dict[int, np.ndarray],
+        m_bits: int, capacity: int,
+    ) -> None:
+        self.cfg = cfg
+        self.bitmaps = bitmaps
+        self.m_bits = m_bits
+        self.capacity = capacity
+
+    @classmethod
+    def build(cls, seen_keys: DataFrame, cfg: CrawlConfig, n_seen: int):
+        """Full rebuild sized for 2x headroom (per-bucket sizing — the
+        round-2 double-division undersizing is fixed here too)."""
+        capacity = max(2 * n_seen, 2 * cfg.bloom_min_seen, 1 << 17)
+        per_bucket = max(1 << 12, -(-capacity // cfg.dedup_buckets))
+        m_bits = _bucket_bits(cfg, per_bucket)
+        raw = build_bloom_bitmaps(seen_keys, cfg, m_bits=m_bits, shuffle=True)
+        bitmaps = {b: np.frombuffer(v, dtype=np.uint64).copy() for b, v in raw.items()}
+        return cls(cfg, bitmaps, m_bits, capacity)
+
+    def needs_rebuild(self, n_seen: int) -> bool:
+        return n_seen > self.capacity
+
+    def update(self, delta_keys: DataFrame) -> None:
+        """OR one wave's insert keys into the state (shuffle-free job)."""
+        raw = build_bloom_bitmaps(
+            delta_keys.coalesce(8), self.cfg, m_bits=self.m_bits, shuffle=False
+        )
+        for b, v in raw.items():
+            arr = np.frombuffer(v, dtype=np.uint64)
+            cur = self.bitmaps.get(b)
+            self.bitmaps[b] = arr.copy() if cur is None else (cur | arr)
+
+    def bitmap_bytes(self) -> dict[int, bytes]:
+        return {b: bm.tobytes() for b, bm in self.bitmaps.items()}
+
+
+# ---------------------------------------------------------------------------
+# partition-local distribution (the 10^10-scale design, default)
+# ---------------------------------------------------------------------------
+
+def _atomic_write_bytes(path: Path, data: bytes) -> None:
+    tmp = path.with_name(path.name + f".tmp-{uuid.uuid4().hex[:8]}")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
+class _PartitionLocalTester:
+    """Streams Arrow batches against per-bucket bitmap FILES, holding at
+    most ONE bucket's bitmap resident at a time.
+
+    The caller co-partitions + sorts candidates by bucket, so batches are
+    bucket-contiguous and each bucket's file is read ~once per task.
+    ``peak_resident_bytes`` / ``n_loads`` instrument the partition-local
+    guarantee for tests: peak == one bucket's bitmap == total/n_buckets.
+    """
+
+    def __init__(
+        self, root: str, bucket_paths: dict[int, str], n_buckets: int, n_probes: int
+    ) -> None:
+        self.root = root
+        self.bucket_paths = bucket_paths  # tiny: bucket id -> relative path
+        self.n_buckets = n_buckets
+        self.n_probes = n_probes
+        self._resident_bucket: int | None = None
+        self._resident_bm: np.ndarray | None = None
+        self.peak_resident_bytes = 0
+        self.n_loads = 0
+
+    def _bitmap_for(self, b: int) -> np.ndarray | None:
+        if self._resident_bucket == b:
+            return self._resident_bm
+        rel = self.bucket_paths.get(b)
+        if rel is None:  # empty bucket => certainly fresh
+            return None
+        self._resident_bm = np.load(os.path.join(self.root, rel))
+        self._resident_bucket = b
+        self.n_loads += 1
+        self.peak_resident_bytes = max(
+            self.peak_resident_bytes, self._resident_bm.nbytes
+        )
+        return self._resident_bm
+
+    def test(self, h_signed: np.ndarray) -> np.ndarray:
+        verdict = np.zeros(len(h_signed), dtype=bool)
+        buckets = bucket_of_np(h_signed, self.n_buckets)
+        hu = h_signed.astype(np.uint64)
+        for b in np.unique(buckets):  # sorted => resident bucket reused
+            bm = self._bitmap_for(int(b))
+            if bm is None:
+                continue
+            m_bits = len(bm) * _WORD_BITS
+            sel = buckets == b
+            hits = np.ones(int(sel.sum()), dtype=bool)
+            for pos in _probe_positions(hu[sel], self.n_probes, m_bits):
+                hits &= _test_bits(bm, pos)
+            verdict[sel] = hits
+        return verdict
+
+
+class BloomState:
+    """File-backed, partition-local bloom seen-set state for one crawl.
+
+    Layout under ``root`` (inside the snapshot store — the distributed-FS
+    stand-in; at production these are Iceberg side/puffin files)::
+
+        manifest.json            {wave, m_bits, capacity, dedup_buckets,
+                                  bloom_num_probes, buckets: {id: relpath}}
+        v{wave}/b{bucket}.npy    one bitmap per bucket (written by tasks)
+
+    Lifecycle mirrors the hash-table-style amortized growth of round 2
+    (build once the seen set is worth prefiltering, full rebuild at 2x
+    when outgrown, O(wave) delta updates in between) — but every step is
+    a distributed job over bucket-partitioned keys and NOTHING bloom-sized
+    touches the driver: the driver handles only the manifest (a 32-entry
+    path dict).
+
+    Correctness invariant: state must never MISS a seen key, so a loaded
+    manifest is used only when its recorded wave equals the store's last
+    committed wave AND its bucket/probe geometry matches the current
+    config (a geometry change would silently produce false negatives —
+    ADVICE round 2); anything else falls back to a full rebuild.
+    """
+
+    MANIFEST = "manifest.json"
+
+    def __init__(
+        self,
+        root: str | Path,
+        cfg: CrawlConfig,
+        m_bits: int,
+        capacity: int,
+        wave: int,
+        bucket_paths: dict[int, str],
+    ) -> None:
+        _require_pow2(cfg.dedup_buckets)
+        self.root = Path(root)
+        self.cfg = cfg
+        self.m_bits = m_bits
+        self.capacity = capacity
+        self.wave = wave
+        self.bucket_paths = bucket_paths
+
+    # -- internals ---------------------------------------------------------
+    @staticmethod
+    def _write_bucket_files(
+        keys: DataFrame,
+        root: Path,
+        version: int,
+        m_bits: int,
+        n_buckets: int,
+        n_probes: int,
+        prev_paths: dict[int, str] | None,
+        hash_col: str = "url_hash",
+    ) -> dict[int, str]:
+        """Distributed build/OR of per-bucket bitmap files.
+
+        Keys are shuffled by bucket (all of a bucket's keys in one task);
+        each task sets bits into its buckets' bitmaps — loading the
+        previous version's file first when ``prev_paths`` is given (the
+        incremental OR) — and writes ``v{version}/b{bucket}.npy``.
+        Returns the written {bucket: relpath} map (task output rows are
+        just (bucket, relpath) — bitmap bytes never reach the driver).
+        """
+        vdir = root / f"v{version:05d}"
+        vdir.mkdir(parents=True, exist_ok=True)
+        root_s, prev = str(root), dict(prev_paths or {})
+
+        def write_partial(batches):
+            import io  # noqa: PLC0415
+
+            import pandas as pd  # noqa: PLC0415
+
+            acc: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                h = pdf[hash_col].to_numpy(dtype=np.int64)
+                buckets = bucket_of_np(h, n_buckets)
+                hu = h.astype(np.uint64)
+                for b in np.unique(buckets):
+                    b = int(b)
+                    if b not in acc:
+                        rel = prev.get(b)
+                        acc[b] = (
+                            np.load(os.path.join(root_s, rel)).copy()
+                            if rel is not None
+                            else np.zeros(m_bits // _WORD_BITS, np.uint64)
+                        )
+                    for pos in _probe_positions(hu[buckets == b], n_probes, m_bits):
+                        _set_bits(acc[b], pos)
+            rels = []
+            for b, bm in acc.items():
+                rel = f"v{version:05d}/b{b:05d}.npy"
+                buf = io.BytesIO()
+                np.save(buf, bm)
+                _atomic_write_bytes(Path(root_s) / rel, buf.getvalue())
+                rels.append((b, rel))
+            yield pd.DataFrame(
+                {"bucket": [r[0] for r in rels], "relpath": [r[1] for r in rels]}
+            )
+
+        written = (
+            keys.select(hash_col)
+            .repartition(n_buckets, bucket_col(F.col(hash_col), n_buckets))
+            .mapInPandas(write_partial, schema="bucket int, relpath string")
+            .collect()
+        )
+        out = dict(prev)  # untouched buckets carry their old files forward
+        for r in written:
+            out[int(r.bucket)] = r.relpath
+        return out
+
+    def _save_manifest(self) -> None:
+        payload = json.dumps(
+            {
+                "wave": self.wave,
+                "m_bits": self.m_bits,
+                "capacity": self.capacity,
+                "dedup_buckets": self.cfg.dedup_buckets,
+                "bloom_num_probes": self.cfg.bloom_num_probes,
+                "buckets": {str(b): p for b, p in self.bucket_paths.items()},
+            }
+        )
+        _atomic_write_bytes(self.root / self.MANIFEST, payload.encode())
+
+    def _gc_versions(self) -> None:
+        """Drop version dirs no manifest bucket references (best-effort)."""
+        live = {p.split("/", 1)[0] for p in self.bucket_paths.values()}
+        try:
+            for d in self.root.iterdir():
+                if d.is_dir() and d.name.startswith("v") and d.name not in live:
+                    shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+
+    # -- lifecycle ---------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        seen_keys: DataFrame,
+        cfg: CrawlConfig,
+        n_seen: int,
+        root: str | Path,
+        wave: int,
+    ) -> "BloomState":
+        """Full rebuild from the current seen set, sized for 2x headroom.
+
+        Sizing is per-bucket (capacity / n_buckets keys per bucket at
+        bloom_bits_per_key) — round 2 divided by n_buckets twice, leaving
+        bitmaps ~32x undersized at design capacity (ADVICE round 2)."""
+        root = Path(root)
+        capacity = max(2 * n_seen, 2 * cfg.bloom_min_seen, 1 << 17)
+        per_bucket = max(1 << 12, -(-capacity // cfg.dedup_buckets))
+        m_bits = _bucket_bits(cfg, per_bucket)
+        paths = cls._write_bucket_files(
+            seen_keys, root, wave, m_bits, cfg.dedup_buckets,
+            cfg.bloom_num_probes, prev_paths=None,
+        )
+        st = cls(root, cfg, m_bits, capacity, wave, paths)
+        st._save_manifest()
+        st._gc_versions()
+        return st
+
+    def needs_rebuild(self, n_seen: int) -> bool:
+        return n_seen > self.capacity
+
+    def update(self, delta_keys: DataFrame, wave: int) -> None:
+        """OR one wave's insert keys into the state (distributed job,
+        O(delta) work): only buckets the delta touches get new files;
+        the manifest carries the rest forward by reference."""
+        self.bucket_paths = self._write_bucket_files(
+            delta_keys, self.root, wave, self.m_bits, self.cfg.dedup_buckets,
+            self.cfg.bloom_num_probes, prev_paths=self.bucket_paths,
+        )
+        self.wave = wave
+        self._save_manifest()
+        self._gc_versions()
+
+    @classmethod
+    def load(
+        cls, root: str | Path, cfg: CrawlConfig, expect_wave: int
+    ) -> "BloomState | None":
+        """Load persisted state; None unless the manifest matches
+        ``expect_wave`` exactly AND the bucket/probe geometry matches the
+        current config (stale or re-geometried state would have false
+        negatives => duplicate URLs in the frontier).  This is a
+        best-effort cache: ANY read/parse failure (truncated manifest,
+        missing bitmap file, …) falls back to a full rebuild."""
+        try:
+            m = json.loads((Path(root) / cls.MANIFEST).read_text())
+            if (
+                int(m["wave"]) != expect_wave
+                or int(m["dedup_buckets"]) != cfg.dedup_buckets
+                or int(m["bloom_num_probes"]) != cfg.bloom_num_probes
+            ):
+                return None
+            paths = {int(b): p for b, p in m["buckets"].items()}
+            for p in paths.values():  # verify referenced files exist
+                if not (Path(root) / p).is_file():
+                    return None
+            return cls(
+                root, cfg, int(m["m_bits"]), int(m["capacity"]),
+                int(m["wave"]), paths,
+            )
+        except Exception:  # noqa: BLE001 — best-effort cache by contract
+            return None
+
+    # -- verdict -----------------------------------------------------------
+    def verdict(
+        self, cand: DataFrame, hash_expr: F.Column, flag: str = "maybe_seen"
+    ) -> DataFrame:
+        """Partition-local stage-1 verdict (no false negatives).
+
+        Candidates are co-partitioned by the state's bucket key and
+        sorted within partitions, so each task streams bucket-contiguous
+        batches and holds at most ONE bucket bitmap (total/n_buckets
+        bytes) resident — the whole state is never assembled anywhere.
+        Schema in == schema out + the flag column.
+        """
+        n_buckets, n_probes = self.cfg.dedup_buckets, self.cfg.bloom_num_probes
+        root_s, paths = str(self.root), dict(self.bucket_paths)
+        out_schema = T.StructType(
+            list(cand.schema.fields) + [T.StructField(flag, T.BooleanType())]
+        )
+        with_h = (
+            cand.withColumn("_bloom_h", hash_expr)
+            .repartition(n_buckets, bucket_col(F.col("_bloom_h"), n_buckets))
+            .sortWithinPartitions(bucket_col(F.col("_bloom_h"), n_buckets))
+        )
+
+        def test(batches):
+            tester = _PartitionLocalTester(root_s, paths, n_buckets, n_probes)
+            for pdf in batches:
+                h = pdf["_bloom_h"].to_numpy(dtype=np.int64)
+                pdf = pdf.drop(columns=["_bloom_h"])
+                pdf[flag] = tester.test(h)
+                yield pdf
+
+        return with_h.mapInPandas(test, schema=out_schema)

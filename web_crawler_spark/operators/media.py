@@ -6,19 +6,33 @@ ignores non-text content entirely (its regex only sees HTML text,
 /root/reference/shared/src/crawler.rs:55-60); a training-data pipeline at
 100 TB must instead route media through Arrow-batched Python.
 
-This module makes the *Spark-side plumbing* real — schema, partitioning,
-``mapInPandas`` batch shape, deterministic outputs — while the actual
-byte decoders are STUBBED (no image/audio libraries ship in this
-container): ``_decode_stub`` synthesizes a per-ref pseudo-payload from
-xxhash64 and raises ``NotImplementedError`` only if a caller explicitly
-demands real decoding (``require_real=True``).  Swapping in PIL/ffmpeg is
-a pure function replacement inside the same UDF; the distributed plan —
-explode media spans, repartition by ref hash so one huge document can't
-skew a task, Arrow-batch into pandas — is unchanged.
+Two decode paths share one distributed plan (explode media spans,
+repartition by ref hash so one media-heavy document cannot skew a task,
+Arrow-batch into pandas):
+
+* ``decode="stub"`` — per-ref pseudo-features derived from xxhash64
+  (cheapest; the round-1/2 plumbing oracle).
+* ``decode="real"`` — REAL byte-level decoders over deterministic,
+  **valid container bytes**: image spans synthesize a binary PPM (P6)
+  whose header+raster are then actually parsed (magic, dims, maxval,
+  raster length all validated) to a mean-pixel feature; video spans
+  synthesize the demuxed mono 8-bit PCM WAV audio track and the RIFF/
+  fmt/data chunks are parsed to an RMS-amplitude feature.  No image/
+  audio *libraries* ship in this container, so the payloads are
+  synthesized rather than crawled — but the decoders are real parsers
+  of real formats, and swapping in PIL/ffmpeg is a pure function
+  replacement inside the same UDF (identical batch shape/schema).
+
+Corrupt payloads raise ``ValueError`` from the parsers — the gate that
+``require_real=True`` used to stub out with ``NotImplementedError``
+through round 2 is now an actually-exercised code path.
 """
 
 from __future__ import annotations
 
+import struct
+
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,32 +43,171 @@ FEATURES_SCHEMA = (
     "stub_bytes int, feat_norm double"
 )
 
+FEATURES_REAL_SCHEMA = (
+    "doc_id string, media_ref string, kind string, "
+    "payload_bytes int, feat_norm double"
+)
 
-def _decode_stub(media_ref: str, require_real: bool = False) -> tuple[int, float]:
-    """Deterministic stand-in for a real media decoder.
 
-    Returns (payload_byte_length, feature_vector_norm) derived purely from
-    the ref hash.  Real decoding is intentionally unavailable here.
-    """
-    if require_real:
-        raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; the Spark plumbing around this stub is real"
-        )
+def _decode_stub(media_ref: str) -> tuple[int, float]:
+    """Deterministic pseudo-decoder: (payload_byte_length, feature) from
+    the ref hash alone — the cheap plumbing-verification path."""
     h = xxhash64_str(media_ref)
     stub_bytes = 1024 + pmod(h, 64 * 1024)
     feat_norm = (pmod(h >> 7, 10_000)) / 10_000.0
     return stub_bytes, feat_norm
 
 
-def extract_media_features(documents: DataFrame, partitions: int = 32) -> DataFrame:
+# ---------------------------------------------------------------------------
+# real container formats: synth (deterministic valid bytes) + parse
+# ---------------------------------------------------------------------------
+
+def _pattern(h: int, n: int) -> np.ndarray:
+    """Deterministic byte pattern (a + i*b) mod 256 — vectorized."""
+    a = pmod(h >> 16, 256)
+    b = 1 + pmod(h >> 24, 255)
+    return ((a + np.arange(n, dtype=np.int64) * b) % 256).astype(np.uint8)
+
+
+def synthesize_media_bytes(media_ref: str, kind: str) -> bytes:
+    """Valid container bytes for a media ref — pure function of the ref.
+
+    image -> binary PPM (P6, 8-bit RGB); video -> WAV (RIFF/PCM, 8-bit
+    mono 8 kHz — the demuxed audio track of the synthetic video).
+    """
+    h = xxhash64_str(media_ref)
+    if kind == "image":
+        w = 4 + pmod(h, 13)
+        ht = 4 + pmod(h >> 8, 13)
+        raster = _pattern(h, w * ht * 3).tobytes()
+        return f"P6\n{w} {ht}\n255\n".encode() + raster
+    if kind == "video":
+        n = 64 + pmod(h, 192)
+        samples = _pattern(h, n).tobytes()
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", n)
+        )
+        return hdr + samples
+    raise ValueError(f"unknown media kind: {kind}")
+
+
+_WS = b" \t\r\n\x0b\x0c"
+
+
+def _ppm_token(payload: bytes, pos: int) -> tuple[bytes, int]:
+    while pos < len(payload) and payload[pos : pos + 1] in (
+        b" ", b"\t", b"\r", b"\n", b"\x0b", b"\x0c",
+    ):
+        pos += 1
+    start = pos
+    while pos < len(payload) and payload[pos] not in _WS:
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated PPM header")
+    return payload[start:pos], pos
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a binary PPM (P6): returns (width, height, maxval, raster).
+    Validates magic, header fields, and raster length.
+
+    Tokens are scanned positionally: per the PPM spec exactly ONE
+    whitespace byte separates the maxval from the raster, and the raster
+    may itself begin with whitespace-valued bytes — a naive
+    ``split(None, 4)`` silently eats those pixels (a real bug this
+    parser's first version had; caught by the full-corpus oracle gate).
+    """
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM (bad magic)")
+    pos = 2
+    fields = []
+    for _ in range(3):
+        tok, pos = _ppm_token(payload, pos)
+        try:
+            fields.append(int(tok))
+        except ValueError as e:
+            raise ValueError(f"bad PPM header field {tok!r}") from e
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        raise ValueError(f"bad PPM dimensions {w}x{h} maxval={maxval}")
+    if pos >= len(payload) or payload[pos] not in _WS:
+        raise ValueError("missing whitespace after PPM maxval")
+    raster = payload[pos + 1 :]  # exactly one separator byte (spec)
+    if len(raster) != w * h * 3:
+        raise ValueError(f"PPM raster length {len(raster)} != {w}*{h}*3")
+    return w, h, maxval, np.frombuffer(raster, dtype=np.uint8)
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Parse a RIFF/WAVE file (PCM 8-bit mono): returns the samples.
+    Walks the chunk list properly (fmt before data, sizes validated)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 != len(payload):
+        raise ValueError(f"RIFF size {riff_size} != payload {len(payload) - 8}")
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, channels, _, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if audio_fmt != 1 or channels != 1 or bits != 8:
+                raise ValueError(
+                    f"unsupported WAV: fmt={audio_fmt} ch={channels} bits={bits}"
+                )
+            fmt_ok = True
+        elif cid == b"data":
+            if len(body) != csize:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if not fmt_ok or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def decode_media(payload: bytes, kind: str) -> tuple[int, float]:
+    """Real decode: (payload_bytes, feature).  image -> mean pixel /
+    maxval; video(audio track) -> RMS of centered samples.  Features are
+    rounded to 6 decimals in PYTHON so the Spark UDF and the pure-Python
+    oracle twin produce bit-identical doubles."""
+    if kind == "image":
+        _, _, maxval, raster = decode_ppm(payload)
+        feat = float(raster.astype(np.float64).mean() / maxval)
+    elif kind == "video":
+        samples = decode_wav(payload)
+        centered = (samples.astype(np.float64) - 128.0) / 128.0
+        feat = float(np.sqrt((centered * centered).mean()))
+    else:
+        raise ValueError(f"unknown media kind: {kind}")
+    return len(payload), round(feat, 6)
+
+
+def decode_ref_real(media_ref: str, kind: str) -> tuple[int, float]:
+    """synthesize + really-decode one ref (UDF body == oracle twin)."""
+    return decode_media(synthesize_media_bytes(media_ref, kind), kind)
+
+
+def extract_media_features(
+    documents: DataFrame, partitions: int = 32, decode: str = "stub"
+) -> DataFrame:
     """media spans -> per-ref features via Arrow-batched mapInPandas.
 
     Plan shape (the part that must be right at scale): posexplode keeps
     span order; repartition by xxhash64(media_ref) spreads refs evenly so
     a single media-heavy host cannot skew one task; the Python stage sees
-    whole Arrow batches (vectorized), never single rows.
+    whole Arrow batches (vectorized), never single rows.  ``decode``
+    picks the per-item decoder: "stub" (hash-derived) or "real" (valid
+    PPM/WAV bytes, actually parsed) — the plan is identical.
     """
+    if decode not in ("stub", "real"):
+        raise ValueError(f"decode must be 'stub' or 'real', got {decode!r}")
     media = (
         documents.select(
             "doc_id", F.posexplode("spans").alias("span_idx", "span")
@@ -67,20 +220,28 @@ def extract_media_features(documents: DataFrame, partitions: int = 32) -> DataFr
         )
         .repartition(partitions, F.xxhash64("media_ref"))
     )
+    size_col = "stub_bytes" if decode == "stub" else "payload_bytes"
 
     def featurize(batches):
         import pandas as pd  # noqa: PLC0415 — executor-side import
 
         for pdf in batches:
-            decoded = [_decode_stub(ref) for ref in pdf["media_ref"]]
+            if decode == "stub":
+                decoded = [_decode_stub(ref) for ref in pdf["media_ref"]]
+            else:  # real per-item decoders over real container bytes
+                decoded = [
+                    decode_ref_real(ref, kind)
+                    for ref, kind in zip(pdf["media_ref"], pdf["kind"])
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
                     "kind": pdf["kind"],
-                    "stub_bytes": [d[0] for d in decoded],
+                    size_col: [d[0] for d in decoded],
                     "feat_norm": [d[1] for d in decoded],
                 }
             )
 
-    return media.mapInPandas(featurize, schema=FEATURES_SCHEMA)
+    schema = FEATURES_SCHEMA if decode == "stub" else FEATURES_REAL_SCHEMA
+    return media.mapInPandas(featurize, schema=schema)

@@ -16,7 +16,7 @@ are the partition key (crawl_id), so aggregation is partition-local.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .store import SnapshotStore
@@ -109,15 +109,21 @@ def list_crawls(
     )
     if status is not None:
         joined = joined.filter(F.col("derived_status") == status)
-    w = Window.orderBy("created_at", "crawl_id")
-    page = (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .withColumn("total_count", F.count("*").over(Window.partitionBy()))
-        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
-        .drop("_rn")
-    )
-    rows = [r.asDict() for r in page.collect()]
-    total = rows[0]["total_count"] if rows else 0
+    joined = joined.persist()
+    try:
+        # total rides its own tiny agg; the page is a global sort with
+        # LIMIT+OFFSET pushdown (TakeOrderedAndProject) — round 2 used a
+        # no-partition row_number window, which serializes the whole list
+        # through ONE task at 10^5 crawls (Spark warns about exactly this)
+        total = joined.count()
+        page = (
+            joined.orderBy("created_at", "crawl_id").offset(offset).limit(limit)
+        )
+        rows = [r.asDict() for r in page.collect()]
+    finally:
+        joined.unpersist()
+    for r in rows:
+        r["total_count"] = total  # reference's total_count field (A6)
     return rows, total
 
 

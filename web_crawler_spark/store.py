@@ -105,20 +105,73 @@ class SnapshotStore:
         return self.root / "crawls" / crawl_id
 
     def write_crawl_meta(self, meta: dict) -> None:
+        """Write one crawl's metadata.  Fleet members (meta carries
+        ``fleet_id`` and no standalone crawl.json exists) route into the
+        fleet's single members.json registry — a per-member status flip
+        (cancel, completion) is one registry rewrite, not a new file."""
+        fleet = meta.get("fleet_id")
         d = self.crawl_dir(meta["crawl_id"])
+        if (
+            fleet
+            and not (d / "crawl.json").exists()
+            and self._member_registry_path(fleet).exists()
+        ):
+            reg = self.read_member_metas(fleet)
+            reg[meta["crawl_id"]] = meta
+            self.write_member_metas(fleet, reg)
+            return
         d.mkdir(parents=True, exist_ok=True)
         tmp = d / "crawl.json.tmp"
         tmp.write_text(json.dumps(meta, indent=1))
         tmp.replace(d / "crawl.json")  # atomic rename
 
     def read_crawl_meta(self, crawl_id: str) -> dict:
-        return json.loads((self.crawl_dir(crawl_id) / "crawl.json").read_text())
+        p = self.crawl_dir(crawl_id) / "crawl.json"
+        if p.exists():
+            return json.loads(p.read_text())
+        fleet = self._fleet_of_member(crawl_id)
+        if fleet is not None:
+            reg = self.read_member_metas(fleet)
+            if crawl_id in reg:
+                return reg[crawl_id]
+        raise FileNotFoundError(f"no crawl meta for {crawl_id}")
+
+    # ---- fleet member registry: ONE atomic JSON per fleet -------------
+    def _member_registry_path(self, fleet_id: str) -> Path:
+        return self.crawl_dir(fleet_id) / "members.json"
+
+    def _fleet_of_member(self, crawl_id: str) -> str | None:
+        """Member ids are ``{fleet_id}-c{NNNNN}`` (engine.start_fleet);
+        resolve the owning fleet iff its registry actually exists."""
+        fleet, sep, tail = crawl_id.rpartition("-c")
+        if sep and tail.isdigit() and self._member_registry_path(fleet).exists():
+            return fleet
+        return None
+
+    def write_member_metas(self, fleet_id: str, registry: dict[str, dict]) -> None:
+        d = self.crawl_dir(fleet_id)
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / "members.json.tmp"
+        tmp.write_text(json.dumps(registry))
+        tmp.replace(d / "members.json")  # atomic rename
+
+    def read_member_metas(self, fleet_id: str) -> dict[str, dict]:
+        p = self._member_registry_path(fleet_id)
+        if not p.exists():
+            return {}
+        return json.loads(p.read_text())
 
     def list_crawls(self) -> list[str]:
         base = self.root / "crawls"
         if not base.exists():
             return []
-        return sorted(p.name for p in base.iterdir() if (p / "crawl.json").exists())
+        out = []
+        for p in base.iterdir():
+            if (p / "crawl.json").exists():
+                out.append(p.name)
+            if (p / "members.json").exists():
+                out.extend(json.loads((p / "members.json").read_text()))
+        return sorted(out)
 
     # ---- wave snapshots ----
     def wave_dir(self, crawl_id: str, wave: int) -> Path:
