@@ -54,8 +54,12 @@ SKIP_QUERIES = os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "") == "1"
 BLOOM_DIST = os.environ.get("SPARK_GRAFT_BLOOM_DIST", "partition_local")
 BLOOM_MIN_SEEN = int(os.environ.get("SPARK_GRAFT_BLOOM_MIN_SEEN", "5000000"))
 # corpus physical layout: bucketed parquet table (the production-faithful
-# shuffle-free fetch join) instead of the in-memory repartition+cache
-BUCKETED = os.environ.get("SPARK_GRAFT_BUCKETED", "") == "1"
+# shuffle-free fetch join) — DEFAULT since round 3: measured faster than
+# the in-memory repartition+cache at 600k/local[32] (91.9 s vs 128.9 s;
+# no corpus pages in the block store => less GC pressure) AND it is the
+# layout the 100 TB design actually prescribes.  Set =0 for the cached
+# in-memory corpus.
+BUCKETED = os.environ.get("SPARK_GRAFT_BUCKETED", "1") == "1"
 
 BENCH_QUERIES = [
     "progress_counts",
@@ -160,6 +164,7 @@ def main() -> None:
         bloom_distribution=BLOOM_DIST,
         bloom_min_seen=BLOOM_MIN_SEEN,
         compact_shuffle_keys=os.environ.get("SPARK_GRAFT_COMPACT_KEYS", "") == "1",
+        compact_every_waves=int(os.environ.get("SPARK_GRAFT_COMPACT_WAVES", "8")),
     )
     store = SnapshotStore(f"{tmp}/store")
     fetch_join_info = {"corpus_layout": "cached_repartition"}

@@ -55,17 +55,19 @@ class CrawlConfig:
     # (whole bitmap dict built driver-side, broadcast each wave) — kept
     # for A/B benchmarking and regimes where the state is tiny.
     bloom_distribution: str = "partition_local"
-    # below this seen-set size the bloom prefilter cannot pay for itself:
-    # the verdict is an Arrow-batched Python stage in the middle of the
-    # wave pipeline, and at local[32]/600k-docs it was measured to cost
-    # 5x the whole crawl (425 s with vs 85 s without — the ArrowEvalPython
-    # barrier serializes the heavy stage; BENCH/ANALYSIS.md round 2).
-    # The prefilter's purpose is the regime where the seen set is huge
-    # relative to executor memory and most candidates are duplicates
-    # (late-crawl convergence at the 10^10-row design point); there the
-    # trimmed join shuffle dominates the Python round-trip.  The operator
-    # stays first-class: incremental, persisted, equivalence-tested
-    # (tests force it on with bloom_min_seen=0).
+    # below this seen-set size the bloom prefilter cannot pay for itself.
+    # History: round 2's broadcast verdict cost 5x the whole crawl at
+    # 600k/local[32] (425 s vs 85 s without).  Round 3's partition-local
+    # verdict (bucket-partitioned JVM shuffle + NARROW hash-only scalar
+    # UDF) brought bloom-on to within run-to-run steal noise of bloom-off
+    # (105 s at 1.8% steal vs 129 s at 25% steal — BENCH/ANALYSIS.md
+    # round 3), so the gate is now cheap insurance rather than a cliff.
+    # The prefilter's PURPOSE is still the regime where the seen set is
+    # huge relative to executor memory and most candidates are duplicates
+    # (late-crawl convergence at the 10^10-row design point); below the
+    # threshold the exact join alone is simpler and at least as fast.
+    # The operator stays first-class: incremental, persisted,
+    # equivalence-tested (tests force it on with bloom_min_seen=0).
     bloom_min_seen: int = 5_000_000
 
     # EXPERIMENT (round-3 A/B, default off): key the local-distinct

@@ -394,9 +394,11 @@ class CrawlEngine:
                 eligible = self._eligible(
                     frontier, n_pending, exclude_crawl_ids=cancel_ids
                 )
-                result = self._run_wave(
+                result, mat = self._run_wave(
                     crawl_id, wave, eligible, seen=frontier, is_root=False,
                     bloom=bloom, cancel_ids=cancel_ids,
+                    prev_frontier=frontier,
+                    checkpoint=(wave % self.cfg.compact_every_waves == 0),
                 )
                 if cancel_ids:  # the wave committed their CANCELLED rows
                     for m in cancel_ids:
@@ -412,16 +414,11 @@ class CrawlEngine:
                     + result.parent_retries
                     + result.children_pending
                 )
-                merged = self._merge_wave(frontier, crawl_id, wave)
-                # ONE eager materialization job per wave: fills the cache
-                # at full parallelism (a lazy persist was measured 2x
-                # worse — the next wave's first job then recomputes the
-                # merge lineage on several DAG branches before the cache
-                # exists) and carries the exact counts as observed metrics.
-                merged, n_seen, n_pending = self._materialize_frontier(
-                    merged,
-                    checkpoint=(wave % self.cfg.compact_every_waves == 0),
-                )
+                # the folded+materialized next frontier was computed INSIDE
+                # the wave, overlapped with the wave tail (bloom update,
+                # observation reads, metrics, commit) — one serial job
+                # barrier less per wave
+                merged, n_seen, n_pending = mat
                 if n_pending != n_pending_arith:
                     # the observed count from the merge job is authoritative;
                     # the arithmetic twin is a live invariant check — log
@@ -522,7 +519,9 @@ class CrawlEngine:
         root_fetched: int = 1,
         bloom=None,  # BloomState | BroadcastBloom, managed by run_crawl
         cancel_ids: list[str] | None = None,
-    ) -> WaveResult:
+        prev_frontier: DataFrame | None = None,
+        checkpoint: bool = False,
+    ) -> tuple[WaveResult, tuple[DataFrame, int, int] | None]:
         t0 = time.time()
         cfg = self.cfg
 
@@ -891,19 +890,38 @@ class CrawlEngine:
         # the three delta writes all read from the cached `cand`/`outcomes`
         # DataFrames (filled by the metrics pass above), so they are
         # submitted concurrently — three small coalesced jobs overlapping
-        # instead of three sequential job barriers (round-1 lever #1)
+        # instead of three sequential job barriers (round-1 lever #1).
+        # When the caller hands over the previous frontier, the NEXT
+        # frontier is folded from the written files and materialized on a
+        # pool thread so it overlaps the wave tail below (round-3 lever:
+        # one serial job barrier less per wave — the per-wave serial
+        # floor was measured at ~6-7 s/wave and is what caps the
+        # pre-saturation scaling efficiency).
         from concurrent.futures import ThreadPoolExecutor
 
         write_jobs = [(children, "inserts"), (edges, "edges")]
         if updates is not None:
             write_jobs.append((updates, "updates"))
-        with ThreadPoolExecutor(max_workers=len(write_jobs)) as pool:
-            futures = [
-                pool.submit(self.store.write_delta, df, crawl_id, wave, kind)
-                for df, kind in write_jobs
-            ]
-            for fut in futures:
-                fut.result()
+        mat_future = None
+        pool = ThreadPoolExecutor(max_workers=len(write_jobs) + 1)
+        futures = [
+            pool.submit(self.store.write_delta, df, crawl_id, wave, kind)
+            for df, kind in write_jobs
+        ]
+        for fut in futures:
+            fut.result()
+        if prev_frontier is not None:
+            # fold the next frontier from the files just written
+            # (linear lineage: prev appears ONCE + stable file scans —
+            # an in-memory fold through the wave pipeline references
+            # prev in three branches and the plan grows 3^waves, OOM
+            # by wave ~6) and materialize it concurrently with the
+            # wave tail (bloom update, observation reads, metrics,
+            # commit) below.
+            fold = self._fold_frontier(prev_frontier, crawl_id, wave)
+            mat_future = pool.submit(
+                self._materialize_frontier, fold, checkpoint
+            )
 
         if bloom is not None:
             # O(wave) incremental maintenance: OR this wave's insert keys
@@ -974,15 +992,18 @@ class CrawlEngine:
             # several-MB bitmap broadcast per wave: release it now or a
             # deep crawl accumulates broadcast blocks for the session
             bcast.destroy()
-        return result
+        mat = mat_future.result() if mat_future is not None else None
+        pool.shutdown()
+        return result, mat
 
-    def _merge_wave(
+    def _fold_frontier(
         self, prev: DataFrame, crawl_id: str, wave: int
     ) -> DataFrame:
-        """Fold one committed wave's deltas into the cached frontier:
-        apply this wave's status updates to existing rows, append its
-        inserts.  Reads only the new wave's files; updates-only waves
-        (member cancellation) simply have no inserts file."""
+        """Fold one written wave's deltas into the cached frontier: apply
+        the status updates to existing rows, append the inserts.  Reads
+        only the new wave's files — stable, bounded lineage (prev appears
+        exactly once in the plan); updates-only waves simply have no
+        inserts file."""
         from .store import FRONTIER_SCHEMA, UPDATES_SCHEMA
 
         wd = self.store.wave_dir(crawl_id, wave)

@@ -353,6 +353,26 @@ def _atomic_write_bytes(path: Path, data: bytes) -> None:
     os.replace(tmp, path)
 
 
+# worker-level tester cache for the narrow partition-local verdict UDF:
+# a scalar pandas UDF is re-invoked per Arrow batch, and Python workers
+# are reused across batches/stages/waves — the cache keeps ONE tester
+# (holding ONE resident bucket bitmap) alive per manifest version so a
+# bucket file is read once per task, not once per batch.  Keyed by the
+# manifest content; at most one entry is retained (a new wave's manifest
+# evicts the old state).
+_TESTER_CACHE: dict = {}
+
+
+def _cached_tester(root: str, paths_items: tuple, n_buckets: int, n_probes: int):
+    key = (root, paths_items, n_buckets, n_probes)
+    if key not in _TESTER_CACHE:
+        _TESTER_CACHE.clear()  # one live manifest per worker
+        _TESTER_CACHE[key] = _PartitionLocalTester(
+            root, dict(paths_items), n_buckets, n_probes
+        )
+    return _TESTER_CACHE[key]
+
+
 class _PartitionLocalTester:
     """Streams Arrow batches against per-bucket bitmap FILES, holding at
     most ONE bucket's bitmap resident at a time.
@@ -622,25 +642,33 @@ class BloomState:
         sorted within partitions, so each task streams bucket-contiguous
         batches and holds at most ONE bucket bitmap (total/n_buckets
         bytes) resident — the whole state is never assembled anywhere.
+
+        Physically: the repartition/sort stays JVM-side (columnar
+        shuffle), and the verdict itself is a NARROW scalar pandas UDF —
+        only the 8-byte hash column crosses the Arrow boundary, never
+        the candidate rows (a first version used mapInPandas, which
+        ships every column through Python; measured +27% whole-crawl
+        wall at 600k docs — the round-2 wide-Arrow lesson again).
         Schema in == schema out + the flag column.
         """
+        from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
         n_buckets, n_probes = self.cfg.dedup_buckets, self.cfg.bloom_num_probes
-        root_s, paths = str(self.root), dict(self.bucket_paths)
-        out_schema = T.StructType(
-            list(cand.schema.fields) + [T.StructField(flag, T.BooleanType())]
-        )
-        with_h = (
+        root_s = str(self.root)
+        paths_items = tuple(sorted(self.bucket_paths.items()))
+        bcol = bucket_col(F.col("_bloom_h"), n_buckets)
+        part = (
             cand.withColumn("_bloom_h", hash_expr)
-            .repartition(n_buckets, bucket_col(F.col("_bloom_h"), n_buckets))
-            .sortWithinPartitions(bucket_col(F.col("_bloom_h"), n_buckets))
+            .repartition(n_buckets, bcol)
+            .sortWithinPartitions(bcol)
         )
 
-        def test(batches):
-            tester = _PartitionLocalTester(root_s, paths, n_buckets, n_probes)
-            for pdf in batches:
-                h = pdf["_bloom_h"].to_numpy(dtype=np.int64)
-                pdf = pdf.drop(columns=["_bloom_h"])
-                pdf[flag] = tester.test(h)
-                yield pdf
+        def _test(hashes):  # pd.Series[int64] -> pd.Series[bool]
+            import pandas as pd  # noqa: PLC0415
 
-        return with_h.mapInPandas(test, schema=out_schema)
+            tester = _cached_tester(root_s, paths_items, n_buckets, n_probes)
+            return pd.Series(tester.test(hashes.to_numpy(dtype=np.int64)))
+
+        return part.withColumn(flag, pandas_udf(_test, "boolean")(F.col("_bloom_h"))).drop(
+            "_bloom_h"
+        )

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import contextlib
 import io
+import shutil
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,6 +47,13 @@ def save_bucketed_corpus(
     fetch join a shuffle-free corpus side — the right trade whenever the
     corpus is read by more than one wave (always, for a crawl).
     """
+    # an in-memory catalog forgets tables across sessions but their
+    # warehouse locations survive — drop both before writing
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = Path(wh.removeprefix("file:")) / table.lower()
+    if loc.exists():
+        shutil.rmtree(loc, ignore_errors=True)
     (
         documents.write.bucketBy(n_buckets, "doc_id")
         .sortBy("doc_id")
