@@ -84,3 +84,20 @@ class CrawlConfig:
 
     # snapshot store
     compact_every_waves: int = 8
+
+    def __post_init__(self) -> None:
+        # typo-guard the string-valued physical-plan switches: a
+        # misspelled bloom_distribution silently fell through to the
+        # broadcast path (losing persistence/resume and the 10^10-scale
+        # behavior); a misspelled dns_impl fell through to the unrolled
+        # chain (round-3 ADVICE)
+        if self.bloom_distribution not in ("partition_local", "broadcast"):
+            raise ValueError(
+                f"bloom_distribution must be 'partition_local' or "
+                f"'broadcast' (got {self.bloom_distribution!r})"
+            )
+        if self.dns_impl not in ("unrolled", "expr", "pandas"):
+            raise ValueError(
+                f"dns_impl must be 'unrolled', 'expr' or 'pandas' "
+                f"(got {self.dns_impl!r})"
+            )

@@ -157,7 +157,7 @@ class CrawlEngine:
         # executors use (manager fetches the root once, no retry; DNS or
         # fetch failure fails crawl creation — crawl.rs:45-83)
         dns_ok, domain, ip = dns_py(name, self.cfg)
-        has_doc = self._doc_exists(seed_key)
+        has_doc = seed_key in self._docs_present([seed_key])
         fetch_ok, sim_status, _ = fetch_outcome_py(seed_key, has_doc, 0, self.cfg)
         meta = {
             "crawl_id": crawl_id,
@@ -216,12 +216,7 @@ class CrawlEngine:
         norm = [normalize_url_py(u) for u in seed_urls]
         keys = [proto + name for name, proto in norm]
         # ONE existence-check job for all roots (not one isEmpty per seed)
-        present = {
-            r.doc_id
-            for r in self.documents.filter(F.col("doc_id").isin(keys))
-            .select("doc_id")
-            .collect()
-        }
+        present = self._docs_present(keys)
         rows, members = [], []
         registry: dict[str, dict] = {}
         for i, (seed_url, (name, proto)) in enumerate(zip(seed_urls, norm)):
@@ -320,11 +315,13 @@ class CrawlEngine:
                     meta["status"] = "cancelled"
                     self.store.write_crawl_meta(meta)
                     if meta.get("is_fleet"):  # members follow the fleet
-                        reg = self.store.read_member_metas(crawl_id)
-                        for m in reg.values():
-                            if m["status"] in ("running", "cancelling"):
-                                m["status"] = "cancelled"
-                        self.store.write_member_metas(crawl_id, reg)
+
+                        def _cancel_all(reg: dict) -> None:
+                            for m in reg.values():
+                                if m["status"] in ("running", "cancelling"):
+                                    m["status"] = "cancelled"
+
+                        self.store.update_member_metas(crawl_id, _cancel_all)
                     return meta
                 if max_waves is not None and waves_done >= max_waves:
                     return meta
@@ -363,12 +360,15 @@ class CrawlEngine:
                     meta["status"] = "completed"
                     self.store.write_crawl_meta(meta)
                     if meta.get("is_fleet"):  # batch member completion
-                        for m in reg.values():
-                            if m["status"] == "running":
-                                m["status"] = "completed"
-                            elif m["status"] == "cancelling":
-                                m["status"] = "cancelled"  # nothing pending
-                        self.store.write_member_metas(crawl_id, reg)
+
+                        def _complete_all(reg: dict) -> None:
+                            for m in reg.values():
+                                if m["status"] == "running":
+                                    m["status"] = "completed"
+                                elif m["status"] == "cancelling":
+                                    m["status"] = "cancelled"  # nothing pending
+
+                        self.store.update_member_metas(crawl_id, _complete_all)
                     return meta
                 # incremental bloom lifecycle: build once the seen set is
                 # worth prefiltering, grow by full rebuild when outgrown;
@@ -401,9 +401,18 @@ class CrawlEngine:
                     checkpoint=(wave % self.cfg.compact_every_waves == 0),
                 )
                 if cancel_ids:  # the wave committed their CANCELLED rows
-                    for m in cancel_ids:
-                        reg[m]["status"] = "cancelled"
-                    self.store.write_member_metas(crawl_id, reg)
+                    # re-read + targeted mutation, NOT a write-back of the
+                    # pre-wave `reg` snapshot: a member cancelled DURING
+                    # the wave (from another thread) must not be reverted
+                    # to 'running' by a stale whole-dict write (round-3
+                    # ADVICE lost-update race)
+
+                    def _mark_cancelled(r: dict) -> None:
+                        for m in cancel_ids:
+                            if m in r:
+                                r[m]["status"] = "cancelled"
+
+                    self.store.update_member_metas(crawl_id, _mark_cancelled)
                 # pending/seen bookkeeping by WAVE ARITHMETIC (cross-checked
                 # against the merge job's observed counts): every eligible
                 # parent left PENDING except retries; children are born
@@ -441,8 +450,16 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     # wave internals
     # ------------------------------------------------------------------
-    def _doc_exists(self, full_key: str) -> bool:
-        return not self.documents.filter(F.col("doc_id") == full_key).isEmpty()
+    def _docs_present(self, keys: list[str]) -> set[str]:
+        """ONE existence-check job for any number of root keys — the
+        single-crawl path shares it with the fleet path (round 3 ran a
+        separate isEmpty job per single seed)."""
+        return {
+            r.doc_id
+            for r in self.documents.filter(F.col("doc_id").isin(keys))
+            .select("doc_id")
+            .collect()
+        }
 
     def _materialize_frontier(
         self, df: DataFrame, checkpoint: bool = False

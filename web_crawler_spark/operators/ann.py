@@ -32,6 +32,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .skew import top_n_per_bucket
+
 # embedding quantization step: 1e-6 resolution, exact int64 arithmetic
 QUANT = 1_000_000
 
@@ -122,12 +124,10 @@ def near_dup_candidates_lsh(
     for t in range(n_tables):
         side = sigs
         if bucket_cap is not None:
-            w_cap = Window.partitionBy(f"sig{t}").orderBy("vec_id")
-            side = (
-                sigs.withColumn("_rn", F.row_number().over(w_cap))
-                .filter(F.col("_rn") <= bucket_cap)
-                .drop("_rn")
-            )
+            # salted two-stage first-N: with only 2^n_planes distinct
+            # signatures, a single-stage window would route each hot
+            # bucket through ONE task (round-3 VERDICT #3)
+            side = top_n_per_bucket(sigs, [f"sig{t}"], "vec_id", bucket_cap)
         a = side.select(
             F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
             F.col(f"sig{t}").alias("_s"),
@@ -181,12 +181,8 @@ def lsh_topk(
     for t in range(n_tables):
         side = sigs
         if bucket_cap is not None:
-            w_cap = Window.partitionBy(f"sig{t}").orderBy("vec_id")
-            side = (
-                sigs.withColumn("_rn", F.row_number().over(w_cap))
-                .filter(F.col("_rn") <= bucket_cap)
-                .drop("_rn")
-            )
+            # salted two-stage first-N (see near_dup_candidates_lsh)
+            side = top_n_per_bucket(sigs, [f"sig{t}"], "vec_id", bucket_cap)
         c = qsigs.join(
             side, F.col(f"qsig{t}") == F.col(f"sig{t}"), "inner"
         ).filter(F.col("vec_id") != F.col("query_id")).select(

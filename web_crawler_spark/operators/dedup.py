@@ -550,9 +550,21 @@ class BloomState:
         )
         _atomic_write_bytes(self.root / self.MANIFEST, payload.encode())
 
-    def _gc_versions(self) -> None:
-        """Drop version dirs no manifest bucket references (best-effort)."""
+    def _gc_versions(self, prev_paths: dict[int, str] | None = None) -> None:
+        """Drop version dirs referenced by neither the current manifest
+        nor the immediately-previous one (best-effort).
+
+        GC is deferred by ONE version on purpose: a ``verdict()``
+        DataFrame captures the bucket file paths of the state it was
+        created from, and a lazily-evaluated (or cache-evicted) verdict
+        may re-read those files after the next ``update()`` — immediate
+        GC made that public sequence fail at task level with
+        FileNotFoundError (round-3 ADVICE).  One deferral window covers
+        one subsequent update/build; see the staleness note on
+        :meth:`verdict`."""
         live = {p.split("/", 1)[0] for p in self.bucket_paths.values()}
+        if prev_paths:
+            live |= {p.split("/", 1)[0] for p in prev_paths.values()}
         try:
             for d in self.root.iterdir():
                 if d.is_dir() and d.name.startswith("v") and d.name not in live:
@@ -576,6 +588,15 @@ class BloomState:
         bloom_bits_per_key) — round 2 divided by n_buckets twice, leaving
         bitmaps ~32x undersized at design capacity (ADVICE round 2)."""
         root = Path(root)
+        # the superseded state's files (if any) survive one build — same
+        # one-version GC deferral as update(), so a pre-rebuild verdict
+        # stays computable (see _gc_versions)
+        prev: dict[int, str] | None = None
+        try:
+            m = json.loads((root / cls.MANIFEST).read_text())
+            prev = {int(b): p for b, p in m["buckets"].items()}
+        except Exception:  # noqa: BLE001 — no/corrupt prior manifest
+            prev = None
         capacity = max(2 * n_seen, 2 * cfg.bloom_min_seen, 1 << 17)
         per_bucket = max(1 << 12, -(-capacity // cfg.dedup_buckets))
         m_bits = _bucket_bits(cfg, per_bucket)
@@ -585,7 +606,7 @@ class BloomState:
         )
         st = cls(root, cfg, m_bits, capacity, wave, paths)
         st._save_manifest()
-        st._gc_versions()
+        st._gc_versions(prev_paths=prev)
         return st
 
     def needs_rebuild(self, n_seen: int) -> bool:
@@ -595,13 +616,14 @@ class BloomState:
         """OR one wave's insert keys into the state (distributed job,
         O(delta) work): only buckets the delta touches get new files;
         the manifest carries the rest forward by reference."""
+        prev = self.bucket_paths
         self.bucket_paths = self._write_bucket_files(
             delta_keys, self.root, wave, self.m_bits, self.cfg.dedup_buckets,
-            self.cfg.bloom_num_probes, prev_paths=self.bucket_paths,
+            self.cfg.bloom_num_probes, prev_paths=prev,
         )
         self.wave = wave
         self._save_manifest()
-        self._gc_versions()
+        self._gc_versions(prev_paths=prev)
 
     @classmethod
     def load(
@@ -650,6 +672,13 @@ class BloomState:
         ships every column through Python; measured +27% whole-crawl
         wall at 600k docs — the round-2 wide-Arrow lesson again).
         Schema in == schema out + the flag column.
+
+        Staleness: the returned DataFrame reads the bucket FILES of the
+        state as of this call.  Version GC is deferred by one update, so
+        the result stays computable across ONE subsequent
+        ``update()``/``build()`` on this state; materialize it fully
+        before a second one, after which the captured files may be
+        garbage-collected.
         """
         from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 

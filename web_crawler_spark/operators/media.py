@@ -154,7 +154,11 @@ def decode_wav(payload: bytes) -> np.ndarray:
         (csize,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
-            if csize < 16:
+            # len(body) check too: a declared csize >= 16 whose chunk runs
+            # past the end of the payload yields a truncated body, and
+            # struct.unpack_from would raise struct.error instead of the
+            # documented ValueError (round-3 ADVICE)
+            if csize < 16 or len(body) < 16:
                 raise ValueError("short fmt chunk")
             audio_fmt, channels, _, _, _, bits = struct.unpack_from("<HHIIHH", body)
             if audio_fmt != 1 or channels != 1 or bits != 8:

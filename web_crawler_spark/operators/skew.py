@@ -1,0 +1,50 @@
+"""Skew-safe per-bucket top-n — the shared axis-B primitive.
+
+``Window.partitionBy(bucket).orderBy(id)`` routes EVERY row of a bucket
+through one task; when the bucket space is small (2^n_planes LSH
+signatures, SimHash bands over boilerplate-heavy corpora) or one key is
+hot (a host with 10^8 pending URLs), the window that exists to *bound*
+the hot bucket becomes the skew bottleneck itself (round-3 VERDICT
+What's-wrong #3).
+
+The fix is the crawl engine's politeness pattern (engine._eligible):
+
+* stage 1 — ``row_number`` within (bucket, salt) sub-buckets, keep the
+  first n of each: bounds any single window partition to ~|bucket| /
+  salt_fanout rows;
+* stage 2 — exact ``row_number`` over the ≤ salt_fanout·n survivors per
+  bucket.
+
+Output is EXACTLY the global first-n per bucket in ``order_col`` order:
+any row in the global top-n has at most n-1 rows ahead of it in the
+whole bucket, hence at most n-1 ahead of it in its own salt sub-bucket,
+so stage 1 never drops it.  ``order_col`` must be unique within a bucket
+(ids are, everywhere this is used) for the ranking to be deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_n_per_bucket(
+    df: DataFrame,
+    bucket_cols: list[str],
+    order_col: str,
+    n: int,
+    salt_fanout: int = 16,
+) -> DataFrame:
+    """Deterministic first ``n`` rows per bucket (ORDER BY order_col),
+    two-stage salted — no single-key window partition in the plan."""
+    salt = F.pmod(F.xxhash64(order_col), F.lit(salt_fanout))
+    w1 = Window.partitionBy(*bucket_cols, "_salt").orderBy(order_col)
+    w2 = Window.partitionBy(*bucket_cols).orderBy(order_col)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_lrn", F.row_number().over(w1))
+        .filter(F.col("_lrn") <= n)
+        .withColumn("_grn", F.row_number().over(w2))
+        .filter(F.col("_grn") <= n)
+        .drop("_salt", "_lrn", "_grn")
+    )
