@@ -265,18 +265,31 @@ def test_bloom_state_load_guards(spark, tmp_path):
 
 
 def test_bloom_state_gc_drops_stale_versions(spark, tmp_path):
+    """Version GC with ONE-update deferral (round-3 ADVICE): dirs live in
+    the current or immediately-previous manifest survive; older ones are
+    collected — and a verdict taken before an update stays computable
+    across that update (its captured bucket files still exist)."""
     root = tmp_path / "bloom"
     st = BloomState.build(
         _keys_df(spark, [xxhash64_str(f"k{i}") for i in range(2000)]),
         CFG, 2000, root, wave=0,
     )
+    prev_live: set[str] = set()
     for w in (1, 2, 3):
+        prev_live = {p.split("/", 1)[0] for p in st.bucket_paths.values()}
+        # verdict BEFORE the update, collected AFTER it — the public
+        # sequence immediate GC broke with task-level FileNotFoundError
+        from pyspark.sql import functions as F
+
+        cand = _keys_df(spark, [xxhash64_str(f"k{i}") for i in range(50)])
+        v = st.verdict(cand, F.col("url_hash"))
         st.update(
             _keys_df(spark, [xxhash64_str(f"d{w}-{i}") for i in range(500)]), w
         )
+        assert all(r.maybe_seen for r in v.collect())  # still readable
     live = {p.split("/", 1)[0] for p in st.bucket_paths.values()}
     on_disk = {d.name for d in root.iterdir() if d.is_dir()}
-    assert on_disk == live  # superseded version dirs were collected
+    assert live <= on_disk <= live | prev_live  # one-version deferral only
     m = json.loads((root / BloomState.MANIFEST).read_text())
     assert m["wave"] == 3
 

