@@ -755,18 +755,19 @@ class CrawlEngine:
                 # rows, but scoping keeps the prefilter effective too.
                 from .operators.dedup import BloomState, bloom_maybe_seen_udf
 
-                # materialize the candidate set ONCE before the verdict
-                # split: `flagged` fans out into certain/maybe branches
-                # whose stages race to fill a lazy cache, recomputing the
-                # scan→explode→distinct pipeline — with an uncached
-                # (bucketed-table) corpus that recompute re-scanned the
-                # corpus per branch, a measured 4.7x wall regression in
-                # exactly the 10^10 design configuration (round-3 VERDICT
-                # What's-wrong #1).  An eager localCheckpoint pins one
-                # computation and keeps every downstream plan shallow.
+                # materialize the flagged candidate set ONCE, eagerly,
+                # before the verdict split: `flagged` fans out into the
+                # certain/maybe branches, whose stages race to fill a lazy
+                # cache and recompute the whole scan→explode→distinct→
+                # verdict pipeline — with an uncached (bucketed-table)
+                # corpus that recompute re-scanned the corpus per branch,
+                # a measured 4.7x wall regression in exactly the 10^10
+                # design configuration (round-3 VERDICT What's-wrong #1).
+                # An eager localCheckpoint pins exactly one computation of
+                # the pipeline AND of the verdict UDF, and keeps every
+                # downstream plan shallow.
                 if frontier_resolve is not None:
                     frontier_resolve()  # first Spark action of the wave
-                local = local.localCheckpoint(eager=True)
 
                 bloom_key = F.xxhash64("crawl_id", "child_full")
                 if isinstance(bloom, BloomState):
@@ -774,14 +775,14 @@ class CrawlEngine:
                     # per-bucket bitmap FILES; each task holds one bucket's
                     # bitmap (total/n_buckets bytes) — no driver state, no
                     # whole-state broadcast (the 10^10-point design)
-                    flagged = bloom.verdict(local, bloom_key).persist()
+                    flagged = bloom.verdict(local, bloom_key)
                 else:
                     # broadcast twin (A/B benchmarking; small-state regime)
                     bcast = self.spark.sparkContext.broadcast(bloom.bitmap_bytes())
                     flagged = local.withColumn(
                         "maybe_seen", bloom_maybe_seen_udf(bcast, cfg)(bloom_key)
-                    ).persist()
-                to_unpersist.append(flagged)
+                    )
+                flagged = flagged.localCheckpoint(eager=True)
                 certain = (
                     flagged.filter(~F.col("maybe_seen"))
                     .drop("maybe_seen")
