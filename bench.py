@@ -60,6 +60,15 @@ BLOOM_MIN_SEEN = int(os.environ.get("SPARK_GRAFT_BLOOM_MIN_SEEN", "5000000"))
 # layout the 100 TB design actually prescribes.  Set =0 for the cached
 # in-memory corpus.
 BUCKETED = os.environ.get("SPARK_GRAFT_BUCKETED", "1") == "1"
+# politeness budget (stretches a crawl over many waves — the deep-crawl /
+# compaction exercise) and corpus host fan-in
+HOST_BUDGET = os.environ.get("SPARK_GRAFT_HOST_BUDGET", "")
+URLS_PER_HOST = int(os.environ.get("SPARK_GRAFT_URLS_PER_HOST", "8"))
+# physical store compaction cadence (waves); empty = off
+STORE_COMPACT = os.environ.get("SPARK_GRAFT_STORE_COMPACT", "")
+# frontier-fold A/B: max updates rows folded via broadcast join (0 = the
+# always-shuffled fold)
+FOLD_BCAST = os.environ.get("SPARK_GRAFT_FOLD_BCAST", "")
 
 BENCH_QUERIES = [
     "progress_counts",
@@ -136,7 +145,7 @@ def main() -> None:
     # above the reference's UI cap (5) for the throughput run only.
     params = CorpusParams(
         n_docs=NDOCS,
-        urls_per_host=8,
+        urls_per_host=URLS_PER_HOST,
         links_per_span_max=10,
         spans_max=10,
         dead_link_pct=8,
@@ -158,7 +167,11 @@ def main() -> None:
         done_marker.touch()
     docs = spark.read.parquet(corpus_path)
     cfg = CrawlConfig(
-        host_budget_per_wave=None,
+        host_budget_per_wave=int(HOST_BUDGET) if HOST_BUDGET else None,
+        store_compact_every_waves=int(STORE_COMPACT) if STORE_COMPACT else None,
+        **(
+            {"fold_broadcast_max_rows": int(FOLD_BCAST)} if FOLD_BCAST else {}
+        ),
         max_crawl_depth=max(5, DEPTH),
         use_bloom_prefilter=os.environ.get("SPARK_GRAFT_NO_BLOOM", "") != "1",
         bloom_distribution=BLOOM_DIST,
@@ -232,8 +245,28 @@ def main() -> None:
     urls_processed = sum(r.fetched for r in m)
     candidates = sum(r.candidates for r in m)
     links_seen = sum(r.candidates + r.dedup_dropped for r in m)
+    # merge-on-read reconstruction cost: grows with delta file count,
+    # bounded by compaction — reported so the deep-crawl cell can show it
+    t_rec = time.time()
     nodes = store.frontier(spark, cid).count()
+    reconstruct_sec = round(time.time() - t_rec, 3)
     edges = store.edges(spark, cid).count()
+
+    def _bloom_summary(st, crawl_id):
+        """Prefilter effectiveness from the committed wave summaries:
+        (candidates tested, exact-join input rows).  Zero/zero when the
+        prefilter never activated (or summaries were compacted away)."""
+        cands = maybe = 0
+        for w in st.committed_waves(crawl_id):
+            try:
+                s = st.wave_summary(crawl_id, w)
+            except (OSError, ValueError):
+                continue
+            cands += int(s.get("bloom_candidates") or 0)
+            maybe += int(s.get("bloom_maybe") or 0)
+        return cands, maybe
+
+    bloom_cands, bloom_maybe = _bloom_summary(store, cid)
 
     # ---- fleet throughput: N concurrent crawls share each wave job ----
     # the per-wave fixed machinery is paid once per FLEET, so per-crawl
@@ -268,7 +301,24 @@ def main() -> None:
         fm = store_f.metrics(spark, fid).filter("partition_id = -1").collect()
         f_fetched = sum(r.fetched for r in fm)
         f_links = sum(r.candidates + r.dedup_dropped for r in fm)
+        fb_cands, fb_maybe = _bloom_summary(store_f, fid)
+        t_rec = time.time()
+        f_nodes = store_f.frontier(spark, fid).count()
+        f_rec_sec = round(time.time() - t_rec, 3)
         fleet_out = {
+            "frontier_rows": int(f_nodes),
+            "frontier_reconstruct_sec": f_rec_sec,
+            **(
+                {
+                    "bloom_candidates_tested": fb_cands,
+                    "bloom_exact_join_input": fb_maybe,
+                    "bloom_join_input_cut_pct": round(
+                        100.0 * (1 - fb_maybe / fb_cands), 2
+                    ),
+                }
+                if fb_cands
+                else {}
+            ),
             "n_crawls": len(seeds),
             "depth": fleet_depth,
             "waves": len(fm),
@@ -319,9 +369,23 @@ def main() -> None:
             "urls_per_sec": round(urls_processed / crawl_sec, 2),
             "nodes": int(nodes),
             "edges": int(edges),
+            "frontier_reconstruct_sec": reconstruct_sec,
             "cpu_steal_pct": crawl_steal,
         },
     }
+    if bloom_cands:
+        out["crawl"]["bloom_candidates_tested"] = bloom_cands
+        out["crawl"]["bloom_exact_join_input"] = bloom_maybe
+        out["crawl"]["bloom_join_input_cut_pct"] = round(
+            100.0 * (1 - bloom_maybe / bloom_cands), 2
+        )
+    if STORE_COMPACT:
+        base = store.current_base(cid)
+        out["crawl"]["store"] = {
+            "compact_every_waves": int(STORE_COMPACT),
+            "live_wave_dirs": len(store.committed_waves(cid)),
+            "base_upto_wave": base[0] if base else None,
+        }
     if fleet_out is not None:
         out["fleet"] = fleet_out
     print(json.dumps(out))

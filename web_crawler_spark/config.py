@@ -82,6 +82,20 @@ class CrawlConfig:
     # experiment flag and not the default.
     compact_shuffle_keys: bool = False
 
+    # EXPERIMENT (round-4 A/B, default OFF): broadcast the per-wave
+    # updates delta into the frontier-fold join when its exact row count
+    # (observed at write time) is at most this, making the fold map-only
+    # (no re-shuffle of the whole frontier).  Measured a net LOSS on this
+    # host: the build-side collect+broadcast is serial driver time (the
+    # scarce resource), while the shuffled fold's ~100 MB/wave runs at
+    # full parallelism overlapped with planning — 200k/local[32] calm
+    # windows: broadcast 62.5 s vs shuffled 55.9/59.4 s
+    # (BENCH/ANALYSIS.md round 4).  Kept as a knob: on a real cluster
+    # with many executors the trade can invert (broadcast once vs
+    # re-shuffling a 10^10-row frontier), and the updates side is
+    # politeness-bounded by design.
+    fold_broadcast_max_rows: int = 0
+
     # snapshot store: plan-lineage checkpoint cadence (in-memory frontier)
     compact_every_waves: int = 8
     # physical delta compaction cadence (store.compact: fold committed

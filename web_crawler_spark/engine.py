@@ -111,6 +111,13 @@ class WaveResult:
     # PENDING rows of individually-cancelled fleet members flipped to
     # CANCELLED by this wave's updates delta
     cancelled: int = 0
+    # bloom prefilter effectiveness (0 when the prefilter is dormant):
+    # candidate rows tested, and how many were maybe-seen — i.e. the
+    # INPUT of the stage-2 exact join; bloom-off waves send ALL
+    # candidates there.  These ride the commit summary so a bench can
+    # report the measured join-input reduction in the design regime.
+    bloom_candidates: int = 0
+    bloom_maybe: int = 0
 
 
 class CrawlEngine:
@@ -734,6 +741,7 @@ class CrawlEngine:
         # are never mixed.
         to_unpersist: list[DataFrame] = []
         bcast = None
+        bloom_candidates = bloom_maybe = 0
         # the prefilter runs only when run_crawl decided the seen set is
         # worth it and handed over live state (below cfg.bloom_min_seen
         # the bloom stage costs more than the exact join it would trim)
@@ -783,6 +791,17 @@ class CrawlEngine:
                         "maybe_seen", bloom_maybe_seen_udf(bcast, cfg)(bloom_key)
                     )
                 flagged = flagged.localCheckpoint(eager=True)
+                # prefilter effectiveness, measured: one cheap scan of the
+                # just-materialized rows — maybe-seen rows are the ONLY
+                # input of the stage-2 exact join below
+                brow = flagged.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.when(F.col("maybe_seen"), 1).otherwise(0)
+                    ).alias("m"),
+                ).first()
+                bloom_candidates = int(brow["n"])
+                bloom_maybe = int(brow["m"] or 0)
                 certain = (
                     flagged.filter(~F.col("maybe_seen"))
                     .drop("maybe_seen")
@@ -1042,17 +1061,6 @@ class CrawlEngine:
                 else:
                     bloom.update(bloom_delta)
             write_fut.result()
-            if prev_frontier is not None:
-                # fold the next frontier from the files just written
-                # (linear lineage: prev appears ONCE + stable file scans —
-                # an in-memory fold through the wave pipeline references
-                # prev in three branches and the plan grows 3^waves, OOM
-                # by wave ~6); its one-job materialization starts now and
-                # resolves lazily in the caller.
-                fold = self._fold_frontier(prev_frontier, crawl_id, wave)
-                next_df, count_fn = self._prepare_frontier(fold, checkpoint)
-                mat = (next_df, pool.submit(count_fn))
-
             if upd_obs is not None:
                 og = upd_obs.get
                 fetched, ok = int(og["fetched"]), int(og["ok"])
@@ -1062,6 +1070,21 @@ class CrawlEngine:
                 fetched, ok, timeouts, n_failed = root_fetched, root_fetched, 0, 0
                 retries = 0
             n_cancelled = int(cancel_obs.get["n_cancelled"]) if cancel_obs else 0
+            if prev_frontier is not None:
+                # fold the next frontier from the files just written
+                # (linear lineage: prev appears ONCE + stable file scans —
+                # an in-memory fold through the wave pipeline references
+                # prev in three branches and the plan grows 3^waves, OOM
+                # by wave ~6); its one-job materialization starts now and
+                # resolves lazily in the caller.  The updates row count
+                # (known exactly from the write's observation) gates the
+                # broadcast fold below.
+                fold = self._fold_frontier(
+                    prev_frontier, crawl_id, wave,
+                    n_updates=fetched + n_cancelled,
+                )
+                next_df, count_fn = self._prepare_frontier(fold, checkpoint)
+                mat = (next_df, pool.submit(count_fn))
 
             elapsed_ms = int((time.time() - t0) * 1000)
             metrics_rows = [
@@ -1095,6 +1118,8 @@ class CrawlEngine:
                 parent_retries=retries,
                 children_pending=n_children_pending,
                 cancelled=n_cancelled,
+                bloom_candidates=bloom_candidates,
+                bloom_maybe=bloom_maybe,
             )
             self.store.commit_wave(
                 crawl_id, wave, {k: v for k, v in result.__dict__.items()}
@@ -1127,13 +1152,24 @@ class CrawlEngine:
         )
 
     def _fold_frontier(
-        self, prev: DataFrame, crawl_id: str, wave: int
+        self, prev: DataFrame, crawl_id: str, wave: int,
+        n_updates: int | None = None,
     ) -> DataFrame:
         """Fold one written wave's deltas into the cached frontier: apply
         the status updates to existing rows, append the inserts.  Reads
         only the new wave's files — stable, bounded lineage (prev appears
         exactly once in the plan); updates-only waves simply have no
-        inserts file."""
+        inserts file.
+
+        The updates side is BROADCAST whenever its exact row count (known
+        from the write job's observation: one row per fetched parent +
+        per cancelled row) is bounded: a shuffled fold re-partitions the
+        ENTIRE frontier every wave — measured ~100 MB/wave of shuffle at
+        the 600k bench, the single largest stage group — while the wave
+        side is bounded by the politeness budget.  Broadcast makes the
+        fold map-only: the frontier is scanned once from cache and never
+        re-shuffled.  Above the bound (or unknown) it falls back to the
+        shuffled sort-merge fold."""
         from .store import UPDATES_SCHEMA
 
         upd_path = self.store.delta_path(crawl_id, wave, "updates")
@@ -1151,6 +1187,11 @@ class CrawlEngine:
                     F.col("attempts").alias("_u_attempts"),
                 )
             )
+            if (
+                n_updates is not None
+                and n_updates <= self.cfg.fold_broadcast_max_rows
+            ):
+                upd = F.broadcast(upd)
             merged = (
                 prev.join(upd, ["crawl_id", "url_hash", "full_key"], "left")
                 .withColumn("status", F.coalesce("_u_status", "status"))
