@@ -64,6 +64,11 @@ BUCKETED = os.environ.get("SPARK_GRAFT_BUCKETED", "1") == "1"
 # compaction exercise) and corpus host fan-in
 HOST_BUDGET = os.environ.get("SPARK_GRAFT_HOST_BUDGET", "")
 URLS_PER_HOST = int(os.environ.get("SPARK_GRAFT_URLS_PER_HOST", "8"))
+# corpus shape: fewer/lighter spans => lower out-degree => a >5M-URL
+# frontier is reachable without 16x the link volume (the design-regime
+# cell runs a 6M-doc corpus with spans_max=3)
+SPANS_MAX = int(os.environ.get("SPARK_GRAFT_SPANS_MAX", "10"))
+LINKS_PER_SPAN = int(os.environ.get("SPARK_GRAFT_LINKS_PER_SPAN", "10"))
 # physical store compaction cadence (waves); empty = off
 STORE_COMPACT = os.environ.get("SPARK_GRAFT_STORE_COMPACT", "")
 # frontier-fold A/B: max updates rows folded via broadcast join (0 = the
@@ -117,6 +122,15 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(SHUFFLE))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce by DATA SIZE, not default parallelism: late-crawl /
+        # politeness-tail waves move a few KB through the same pipeline,
+        # and parallelismFirst=true still launched ~32 near-empty tasks
+        # per shuffle, ~19 stages/wave — task-launch overhead became the
+        # whole wave (floor probe, BENCH/ANALYSIS.md round 4).  8 MB
+        # advisory keeps big waves at full width (300 MB shuffle -> ~38
+        # tasks) while empty waves collapse to 1 task.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -146,8 +160,8 @@ def main() -> None:
     params = CorpusParams(
         n_docs=NDOCS,
         urls_per_host=URLS_PER_HOST,
-        links_per_span_max=10,
-        spans_max=10,
+        links_per_span_max=LINKS_PER_SPAN,
+        spans_max=SPANS_MAX,
         dead_link_pct=8,
     )
     Path(WORKDIR).mkdir(parents=True, exist_ok=True)
