@@ -152,6 +152,63 @@ class CrawlEngine:
         # larger Arrow batches for the narrow bloom/DNS UDF stages: fewer
         # batch boundaries => better JVM<->Python pipelining per task
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # constant unresolved column-expression trees, built ONCE per
+        # engine: Column objects are immutable and reusable across waves,
+        # and re-deriving them per wave (the DNS when-chain alone is
+        # hundreds of py4j calls) was a measured slice of the ~4.7k py4j
+        # round-trips/wave serial floor (BENCH/ANALYSIS.md round 4).
+        self._x = self._build_static_exprs()
+
+    def _build_static_exprs(self) -> dict:
+        cfg = self.cfg
+        x: dict = {}
+        x["fo"] = fetch_outcome_cols(
+            F.col("full_key"), F.col("doc_id").isNotNull(), F.col("attempts"), cfg
+        )
+        if cfg.dns_impl == "pandas":
+            x["dns_struct"] = dns_pandas_udf(cfg)(F.col("child_name"))
+        else:
+            dns_fn = dns_cols if cfg.dns_impl == "expr" else dns_cols_unrolled
+            x["dns"] = dns_fn(F.col("child_name"), cfg)
+        x["norm"] = normalize_cols(F.col("raw"))
+        x["text_spans"] = F.filter(F.col("spans"), lambda s: s["kind"] == "text")
+        x["winner_w"] = Window.partitionBy("crawl_id", "child_full").orderBy(
+            "parent_key", "pos"
+        )
+        x["host"] = _host_col(F.col("name"))
+        x["salt"] = F.pmod(F.col("url_hash"), F.lit(cfg.politeness_salt))
+        x["elig_w1"] = Window.partitionBy("crawl_id", "host", "salt").orderBy(
+            "full_key"
+        )
+        x["elig_w2"] = Window.partitionBy("crawl_id", "host").orderBy("full_key")
+        x["child_http"] = F.when(
+            F.col("child_full").startswith("HTTPS://"), F.lit("HTTPS://")
+        ).otherwise(F.lit("HTTP://"))
+        x["child_name"] = F.regexp_replace(F.col("child_full"), "^HTTPS?://", "")
+        x["agg_cols"] = [
+            F.min("pos").alias("pos"),
+            F.count("*").alias("n_raw"),
+            F.min("parent_depth").alias("parent_depth"),
+            F.min("requested_depth").alias("requested_depth"),
+            F.min("latency_ms").alias("latency_ms"),
+        ]
+        new_attempts = F.when(
+            ~F.col("fetch_ok"), F.col("attempts") + 1
+        ).otherwise(F.col("attempts"))
+        x["new_attempts"] = new_attempts
+        x["status_expr"] = (
+            F.when(F.col("sim_status") == 404, F.lit(FAILED))  # 4xx permanent
+            .when(
+                ~F.col("fetch_ok"),
+                F.when(
+                    new_attempts >= F.lit(cfg.max_attempts), F.lit(FAILED)
+                ).otherwise(F.lit(PENDING)),  # retry next wave
+            )
+            .when(F.col("n_wins") > 0, F.lit(COMPLETED))
+            .when(F.col("n_bad") > 0, F.lit(FAILED))  # all-dropped rule
+            .otherwise(F.lit(COMPLETED))  # no candidates / all taken earlier
+        )
+        return x
 
     # ------------------------------------------------------------------
     # crawl lifecycle (reference: POST /api/v1/crawls, routes/crawl.rs:31-139)
@@ -590,16 +647,12 @@ class CrawlEngine:
         budget = self.cfg.host_budget_per_wave
         if budget is None or n_pending == 0:
             return pending
-        host = _host_col(F.col("name"))
-        salt = F.pmod(F.col("url_hash"), F.lit(self.cfg.politeness_salt))
-        w1 = Window.partitionBy("crawl_id", "host", "salt").orderBy("full_key")
-        w2 = Window.partitionBy("crawl_id", "host").orderBy("full_key")
         eligible = (
-            pending.withColumn("host", host)
-            .withColumn("salt", salt)
-            .withColumn("_lrn", F.row_number().over(w1))
+            pending.withColumn("host", self._x["host"])
+            .withColumn("salt", self._x["salt"])
+            .withColumn("_lrn", F.row_number().over(self._x["elig_w1"]))
             .filter(F.col("_lrn") <= budget)
-            .withColumn("_grn", F.row_number().over(w2))
+            .withColumn("_grn", F.row_number().over(self._x["elig_w2"]))
             .filter(F.col("_grn") <= budget)
             .drop("host", "salt", "_lrn", "_grn")
         )
@@ -640,9 +693,7 @@ class CrawlEngine:
             "crawl_id", "full_key", "name", "depth", "requested_depth", "attempts"
         )
         fetched = wave_side.join(docs, wave_side["full_key"] == docs["doc_id"], "left")
-        fo = fetch_outcome_cols(
-            F.col("full_key"), F.col("doc_id").isNotNull(), F.col("attempts"), cfg
-        )
+        fo = self._x["fo"]
         outcomes_full = (
             fetched.withColumn("fetch_ok", fo["fetch_ok"])
             .withColumn("sim_status", fo["sim_status"])
@@ -662,7 +713,7 @@ class CrawlEngine:
         # indexes the filtered array — still offset-ordered, and `pos` is
         # only ever used for ORDERING (min per parent/child, tie-breaks),
         # so the renumbering is invisible to semantics.
-        text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == "text")
+        text_spans = self._x["text_spans"]
         ok_pages = outcomes_full.filter(F.col("fetch_ok")).select(
             "crawl_id",
             F.col("full_key").alias("parent_key"),
@@ -692,15 +743,9 @@ class CrawlEngine:
         # (hash, scheme, name) is recomputed AFTER the aggregation on the
         # collapsed rows, and the per-parent constants ride as cheap MIN
         # aggregates instead of widening the key tuple.
-        c_name, c_http = normalize_cols(F.col("raw"))
+        c_name, c_http = self._x["norm"]
         canon = links.withColumn("child_full", F.concat(c_http, c_name))
-        agg_cols = [
-            F.min("pos").alias("pos"),
-            F.count("*").alias("n_raw"),
-            F.min("parent_depth").alias("parent_depth"),
-            F.min("requested_depth").alias("requested_depth"),
-            F.min("latency_ms").alias("latency_ms"),
-        ]
+        agg_cols = self._x["agg_cols"]
         if cfg.compact_shuffle_keys:
             # A/B experiment (config.py): shuffle the 8-byte child hash as
             # the grouping key instead of the ~40-byte URL string; strings
@@ -723,14 +768,8 @@ class CrawlEngine:
                 .withColumn("child_hash", F.xxhash64("child_full"))
             )
         local = local.withColumn(
-            "child_http",
-            F.when(
-                F.col("child_full").startswith("HTTPS://"), F.lit("HTTPS://")
-            ).otherwise(F.lit("HTTP://")),
-        ).withColumn(
-            "child_name",
-            F.regexp_replace(F.col("child_full"), "^HTTPS?://", ""),
-        )
+            "child_http", self._x["child_http"]
+        ).withColumn("child_name", self._x["child_name"])
 
         # ---- seen-set dedup (J1): bloom stage 1 + exact stage 2 ----
         # expressed as a left join + is_fresh flag (not left_anti) so the
@@ -824,17 +863,15 @@ class CrawlEngine:
 
         # ---- DNS + robots admission (S2/D6) ----
         if cfg.dns_impl == "pandas":
-            dns_struct = dns_pandas_udf(cfg)(F.col("child_name"))
             cand = (
-                fresh.withColumn("_dns", dns_struct)
+                fresh.withColumn("_dns", self._x["dns_struct"])
                 .withColumn("dns_ok", F.col("_dns.dns_ok"))
                 .withColumn("child_domain", F.col("_dns.domain"))
                 .withColumn("child_ip", F.col("_dns.ip"))
                 .drop("_dns")
             )
         else:
-            dns_fn = dns_cols if cfg.dns_impl == "expr" else dns_cols_unrolled
-            dns = dns_fn(F.col("child_name"), cfg)
+            dns = self._x["dns"]
             cand = (
                 fresh.withColumn("dns_ok", dns["dns_ok"])
                 .withColumn("child_domain", dns["domain"])
@@ -853,8 +890,9 @@ class CrawlEngine:
         cand = cand.withColumn("admitted", admitted)
 
         # ---- deterministic first-discoverer tie-break (J3/ST6, §3.4) ----
-        w = Window.partitionBy("crawl_id", "child_full").orderBy("parent_key", "pos")
-        cand = cand.withColumn("rn", F.row_number().over(w)).persist()
+        cand = cand.withColumn(
+            "rn", F.row_number().over(self._x["winner_w"])
+        ).persist()
 
         winners = cand.filter(
             F.col("is_fresh") & F.col("admitted") & (F.col("rn") == 1)
@@ -900,21 +938,8 @@ class CrawlEngine:
             # reference's validate_job bumps attempts before classifying
             # the error (feeder/src/job.rs:107-131), so a first-attempt 404
             # ends FAILED with attempts=1
-            new_attempts = F.when(
-                ~F.col("fetch_ok"), F.col("attempts") + 1
-            ).otherwise(F.col("attempts"))
-            status_expr = (
-                F.when(F.col("sim_status") == 404, F.lit(FAILED))  # 4xx permanent
-                .when(
-                    ~F.col("fetch_ok"),
-                    F.when(
-                        new_attempts >= F.lit(cfg.max_attempts), F.lit(FAILED)
-                    ).otherwise(F.lit(PENDING)),  # retry next wave
-                )
-                .when(F.col("n_wins") > 0, F.lit(COMPLETED))
-                .when(F.col("n_bad") > 0, F.lit(FAILED))  # all-dropped rule
-                .otherwise(F.lit(COMPLETED))  # no candidates / all taken earlier
-            )
+            new_attempts = self._x["new_attempts"]
+            status_expr = self._x["status_expr"]
             # fetch/status totals piggyback on the updates write action via
             # an Observation — zero extra Spark jobs for these metrics
             upd_obs = Observation()
@@ -1142,14 +1167,18 @@ class CrawlEngine:
     @staticmethod
     def _as_union(df: DataFrame, kind: str) -> DataFrame:
         """Lift one delta DataFrame onto the union superset schema with a
-        ``kind`` discriminator (missing columns = typed nulls)."""
-        out = df
-        for name, dtype in _UNION_COLS:
-            if name not in out.columns:
-                out = out.withColumn(name, F.lit(None).cast(dtype))
-        return out.select(*[n for n, _ in _UNION_COLS]).withColumn(
-            "kind", F.lit(kind)
-        )
+        ``kind`` discriminator (missing columns = typed nulls).
+
+        ONE select, not a withColumn loop: every withColumn is a fresh
+        plan + analysis through py4j, and this ran 3x per wave over a
+        15-column superset — profiled at 0.42 s/wave of pure driver time
+        (the serial floor is the pre-saturation scaling constraint)."""
+        have = set(df.columns)
+        cols = [
+            F.col(n) if n in have else F.lit(None).cast(t).alias(n)
+            for n, t in _UNION_COLS
+        ]
+        return df.select(*cols, F.lit(kind).alias("kind"))
 
     def _fold_frontier(
         self, prev: DataFrame, crawl_id: str, wave: int,
