@@ -180,13 +180,14 @@ def main() -> None:
         ).parquet(corpus_path)
         done_marker.touch()
     docs = spark.read.parquet(corpus_path)
+    fleet_depth = int(os.environ.get("SPARK_GRAFT_FLEET_DEPTH", "3"))
     cfg = CrawlConfig(
         host_budget_per_wave=int(HOST_BUDGET) if HOST_BUDGET else None,
         store_compact_every_waves=int(STORE_COMPACT) if STORE_COMPACT else None,
         **(
             {"fold_broadcast_max_rows": int(FOLD_BCAST)} if FOLD_BCAST else {}
         ),
-        max_crawl_depth=max(5, DEPTH),
+        max_crawl_depth=max(5, DEPTH, fleet_depth),
         use_bloom_prefilter=os.environ.get("SPARK_GRAFT_NO_BLOOM", "") != "1",
         bloom_distribution=BLOOM_DIST,
         bloom_min_seen=BLOOM_MIN_SEEN,
@@ -288,7 +289,6 @@ def main() -> None:
     fleet_n = int(os.environ.get("SPARK_GRAFT_FLEET", "0"))
     fleet_out = None
     if fleet_n:
-        fleet_depth = int(os.environ.get("SPARK_GRAFT_FLEET_DEPTH", "3"))
         seeds, i = [], 0
         while len(seeds) < fleet_n and i < NDOCS:
             did = doc_id_for(i, params)
