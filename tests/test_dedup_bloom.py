@@ -368,3 +368,67 @@ def test_partition_local_tester_unit():
         assert out.all()
         assert t.peak_resident_bytes == m_bits // 8
         assert t.n_loads == len(paths)  # each bucket file read exactly once
+
+
+# ---------------------------------------------------------------------------
+# adaptive payoff gate (round-4: measured-cut auto-disable)
+# ---------------------------------------------------------------------------
+
+def test_bloom_min_cut_frac_validated():
+    with pytest.raises(ValueError, match="bloom_min_cut_frac"):
+        CrawlConfig(bloom_min_cut_frac=1.5)
+    with pytest.raises(ValueError, match="bloom_min_cut_frac"):
+        CrawlConfig(bloom_min_cut_frac=-0.1)
+
+
+def test_bloom_adaptive_gate_disables_in_dup_regime(spark, tmp_path, monkeypatch):
+    """A bloom over the seen set can only certify definitely-NOT-seen
+    candidates; when a wave's measured cut falls below
+    bloom_min_cut_frac the engine must drop the prefilter for the rest
+    of the crawl (sticky), with crawl output unchanged.  Gate disabled
+    (frac=0) keeps the prefilter active for every wave — the control."""
+    import web_crawler_spark.engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "BLOOM_GATE_MIN_SAMPLE", 1)
+    params = CorpusParams(n_docs=80)
+    corpus = build_corpus_py(params)
+    docs = documents_df_from_py(spark, corpus).cache()
+    seed = good_seeds(corpus, CFG)[0]
+
+    def run(label, cfg):
+        store = SnapshotStore(tmp_path / label)
+        eng = CrawlEngine(spark, store, docs, cfg)
+        cid = eng.start_crawl(seed, 3, crawl_id="c")
+        eng.run_crawl(cid)
+        per_wave = [
+            int(store.wave_summary(cid, w).get("bloom_candidates") or 0)
+            for w in store.committed_waves(cid)
+        ]
+        return engine_state(spark, store, cid), per_wave
+
+    # cut threshold impossibly high => first measured wave trips the gate
+    gated_state, gated_waves = run("gated", CrawlConfig(
+        use_bloom_prefilter=True, bloom_min_seen=0, bloom_min_cut_frac=0.999,
+    ))
+    control_state, control_waves = run("control", CrawlConfig(
+        use_bloom_prefilter=True, bloom_min_seen=0, bloom_min_cut_frac=0.0,
+    ))
+    plain_state, plain_waves = run("plain", CrawlConfig(
+        use_bloom_prefilter=False,
+    ))
+    docs.unpersist()
+
+    # output identical across all three paths (gate is physical-only)
+    assert gated_state == control_state == plain_state
+    # control: prefilter tested candidates on every post-root wave that
+    # had any; plain: never
+    assert sum(control_waves) > 0
+    assert sum(plain_waves) == 0
+    # gated: the prefilter went sticky-off strictly before the crawl's
+    # last bloom-active wave in the control (the crawls themselves are
+    # deterministic, so the wave lists align)
+    assert len(gated_waves) == len(control_waves)
+    last_gated = max(i for i, n in enumerate(gated_waves) if n > 0)
+    last_control = max(i for i, n in enumerate(control_waves) if n > 0)
+    assert last_gated < last_control, (gated_waves, control_waves)
+    assert sum(gated_waves) < sum(control_waves)

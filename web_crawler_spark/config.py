@@ -69,6 +69,16 @@ class CrawlConfig:
     # The operator stays first-class: incremental, persisted,
     # equivalence-tested (tests force it on with bloom_min_seen=0).
     bloom_min_seen: int = 5_000_000
+    # adaptive payoff gate: once active, the prefilter must certify at
+    # least this fraction of a wave's candidates as definitely-fresh
+    # (cut = 1 - maybe/candidates) or it is switched off for the rest of
+    # the crawl.  A bloom over the SEEN set can only remove
+    # definitely-NOT-seen candidates, so in a dup-dominated regime
+    # (late-wave BFS convergence inside a closed corpus: measured cut
+    # 0.22% on a 10x600k fleet past 5M seen, BENCH/ANALYSIS.md round 4)
+    # the verdict shuffle+UDF is pure overhead — the size gate alone
+    # cannot see that, only the measured cut can.  0 disables the gate.
+    bloom_min_cut_frac: float = 0.05
 
     # EXPERIMENT (round-3 A/B, default off): key the local-distinct
     # groupBy on (crawl_id, parent_key, child_hash) instead of the full
@@ -115,6 +125,11 @@ class CrawlConfig:
             raise ValueError(
                 f"bloom_distribution must be 'partition_local' or "
                 f"'broadcast' (got {self.bloom_distribution!r})"
+            )
+        if not 0.0 <= self.bloom_min_cut_frac < 1.0:
+            raise ValueError(
+                f"bloom_min_cut_frac must be in [0, 1) "
+                f"(got {self.bloom_min_cut_frac!r})"
             )
         if self.dns_impl not in ("unrolled", "expr", "pandas"):
             raise ValueError(

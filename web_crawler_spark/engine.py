@@ -70,6 +70,11 @@ from .store import FRONTIER_SCHEMA, METRICS_SCHEMA, SnapshotStore
 
 log = logging.getLogger(__name__)
 
+# adaptive bloom gate: a wave must test at least this many candidates
+# before its measured cut can switch the prefilter off — tail waves with
+# a handful of candidates would otherwise noise-trip the sticky gate
+BLOOM_GATE_MIN_SAMPLE = 1024
+
 PENDING, COMPLETED, FAILED, CANCELLED = "PENDING", "COMPLETED", "FAILED", "CANCELLED"
 
 # posexplode link index < 100000 per span by construction (pages are bounded)
@@ -388,6 +393,11 @@ class CrawlEngine:
         pool = ThreadPoolExecutor(max_workers=4)
         n_seen = n_pending = 0
         bloom = None  # BloomState | BroadcastBloom | None
+        # adaptive payoff gate (cfg.bloom_min_cut_frac): sticky-off once
+        # a measured wave shows the prefilter certifying almost nothing —
+        # in a BFS the duplicate fraction of candidates only grows as the
+        # frontier converges, so a wave that cannot pay never pays again
+        bloom_pays = True
 
         def _resolve_counts() -> None:
             """Block on the pending frontier-count job (if any), validate
@@ -493,6 +503,7 @@ class CrawlEngine:
                 # _run_wave instead of the O(crawl) frontier re-scan
                 use_bloom = (
                     self.cfg.use_bloom_prefilter
+                    and bloom_pays
                     and n_seen >= self.cfg.bloom_min_seen
                 )
                 if use_bloom and (bloom is None or bloom.needs_rebuild(n_seen)):
@@ -544,6 +555,25 @@ class CrawlEngine:
                     + result.children_pending
                 )
                 n_seen = n_seen + result.children
+                # adaptive payoff gate: judge on a measured wave (sample
+                # floor guards tiny tail waves from noise-tripping it)
+                if (
+                    bloom_pays
+                    and self.cfg.bloom_min_cut_frac > 0
+                    and result.bloom_candidates >= BLOOM_GATE_MIN_SAMPLE
+                ):
+                    cut = 1.0 - result.bloom_maybe / result.bloom_candidates
+                    if cut < self.cfg.bloom_min_cut_frac:
+                        log.info(
+                            "bloom prefilter off for crawl %s: wave %d cut "
+                            "%.2f%% of %d candidates < min %.1f%% — "
+                            "dup-dominated regime, stage-2 exact join alone",
+                            crawl_id, wave, 100 * cut,
+                            result.bloom_candidates,
+                            100 * self.cfg.bloom_min_cut_frac,
+                        )
+                        bloom_pays = False
+                        bloom = None
                 # the folded next frontier was constructed INSIDE the wave;
                 # its materialization job is still running on the pool and
                 # resolves lazily (next wave's first action / compaction /
