@@ -269,19 +269,30 @@ def main() -> None:
 
     def _bloom_summary(st, crawl_id):
         """Prefilter effectiveness from the committed wave summaries:
-        (candidates tested, exact-join input rows).  Zero/zero when the
-        prefilter never activated (or summaries were compacted away)."""
+        (candidates tested, exact-join input rows, per-activated-wave
+        breakdown).  The per-wave list is the adaptive-gate evidence —
+        the store is deleted at bench exit, so it must ride the JSON.
+        Zero/zero when the prefilter never activated (or summaries were
+        compacted away)."""
         cands = maybe = 0
+        waves = []
         for w in st.committed_waves(crawl_id):
             try:
                 s = st.wave_summary(crawl_id, w)
             except (OSError, ValueError):
                 continue
-            cands += int(s.get("bloom_candidates") or 0)
-            maybe += int(s.get("bloom_maybe") or 0)
-        return cands, maybe
+            c = int(s.get("bloom_candidates") or 0)
+            m = int(s.get("bloom_maybe") or 0)
+            cands += c
+            maybe += m
+            if c:
+                waves.append(
+                    {"wave": w, "candidates": c, "exact_join_input": m,
+                     "cut_pct": round(100.0 * (1 - m / c), 2)}
+                )
+        return cands, maybe, waves
 
-    bloom_cands, bloom_maybe = _bloom_summary(store, cid)
+    bloom_cands, bloom_maybe, bloom_waves = _bloom_summary(store, cid)
 
     # ---- fleet throughput: N concurrent crawls share each wave job ----
     # the per-wave fixed machinery is paid once per FLEET, so per-crawl
@@ -315,7 +326,7 @@ def main() -> None:
         fm = store_f.metrics(spark, fid).filter("partition_id = -1").collect()
         f_fetched = sum(r.fetched for r in fm)
         f_links = sum(r.candidates + r.dedup_dropped for r in fm)
-        fb_cands, fb_maybe = _bloom_summary(store_f, fid)
+        fb_cands, fb_maybe, fb_waves = _bloom_summary(store_f, fid)
         t_rec = time.time()
         f_nodes = store_f.frontier(spark, fid).count()
         f_rec_sec = round(time.time() - t_rec, 3)
@@ -329,6 +340,7 @@ def main() -> None:
                     "bloom_join_input_cut_pct": round(
                         100.0 * (1 - fb_maybe / fb_cands), 2
                     ),
+                    "bloom_waves": fb_waves,
                 }
                 if fb_cands
                 else {}
@@ -393,6 +405,7 @@ def main() -> None:
         out["crawl"]["bloom_join_input_cut_pct"] = round(
             100.0 * (1 - bloom_maybe / bloom_cands), 2
         )
+        out["crawl"]["bloom_waves"] = bloom_waves
     if STORE_COMPACT:
         base = store.current_base(cid)
         out["crawl"]["store"] = {
