@@ -172,11 +172,22 @@ def q_politeness_topk(spark, sf_dir):
 
 
 def q_pagination_window(spark, sf_dir):
+    """Page rows 101-120 of the global (o_orderdate, o_orderkey) order.
+
+    Physical plan matters more than the 20-row answer: ORDER BY + OFFSET
+    + LIMIT compiles to TakeOrderedAndProject — per-partition top-120
+    map-side, one driver merge of 120-row heaps — while the naive
+    no-partition row_number window (rounds 1-4) serialized the WHOLE
+    table through a single task (Spark warns about exactly this; at
+    10^9 orders it is the difference between a working query and an
+    executor OOM).  The rank column is reconstructed by windowing only
+    the 20 survivors (sort key is unique, so ranks are deterministic).
+    Plan shape is pytest-pinned (test_operators.py)."""
     o = _t(spark, sf_dir, "orders")
+    page = o.orderBy("o_orderdate", "o_orderkey").offset(100).limit(20)
     w = Window.orderBy("o_orderdate", "o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 120))
+        page.withColumn("rn", F.row_number().over(w) + F.lit(100))
         .select("rn", "o_orderkey", "o_orderdate", "o_totalprice")
     )
 

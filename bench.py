@@ -74,6 +74,15 @@ STORE_COMPACT = os.environ.get("SPARK_GRAFT_STORE_COMPACT", "")
 # frontier-fold A/B: max updates rows folded via broadcast join (0 = the
 # always-shuffled fold)
 FOLD_BCAST = os.environ.get("SPARK_GRAFT_FOLD_BCAST", "")
+# OPEN-corpus shape (bloom positive-regime experiment, round-5): a large
+# dead-URL universe keeps waves fresh-heavy while the seen set crosses
+# the bloom activation threshold — the closed-corpus default saturates
+# (dup-dominated by ~5M seen, round-4's measured negative regime).  The
+# production web IS the open shape: a 10^10-URL frontier never saturates
+# its link universe.
+DEAD_PCT = int(os.environ.get("SPARK_GRAFT_DEAD_PCT", "8"))
+DUP_PCT = int(os.environ.get("SPARK_GRAFT_DUP_PCT", "12"))
+HOT_PCT = int(os.environ.get("SPARK_GRAFT_HOT_PCT", "25"))
 
 BENCH_QUERIES = [
     "progress_counts",
@@ -85,7 +94,22 @@ BENCH_QUERIES = [
     "minhash_band_buckets",
     "token_count",
     "ann_cosine_topk",
+    # the heaviest-plan LLM-pipeline operators (round-4 VERDICT #6): a
+    # plan regression here must be visible between rounds
+    "simhash_near_dup",
+    "ann_lsh_topk",
+    "embedding_near_dup_lsh",
+    "media_features_real",
 ]
+
+# headline steal gate (round-4 VERDICT #3): the official artifact was
+# captured at 61% CPU steal and misrepresented the engine by 2.2x.  The
+# headline crawl is retried (waiting for a calm window between attempts)
+# until its measured steal is below the gate; the lowest-steal attempt is
+# reported either way, with every attempt's (wall, steal) in the JSON.
+STEAL_GATE_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "5"))
+STEAL_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_STEAL_ATTEMPTS", "3"))
+CALM_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_CALM_WAIT", "240"))
 
 
 def _cpu_stat() -> tuple[int, int]:
@@ -105,6 +129,18 @@ def _cpu_stat() -> tuple[int, int]:
 def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
     db, ds = after[0] - before[0], after[1] - before[1]
     return round(100.0 * ds / db, 2) if db > 0 else 0.0
+
+
+def _wait_for_calm(max_wait_sec: float, target_pct: float, probe_sec: float = 8.0):
+    """Block until a probe window shows steal <= target (or give up)."""
+    waited = 0.0
+    while waited < max_wait_sec:
+        b = _cpu_stat()
+        time.sleep(probe_sec)
+        waited += probe_sec
+        if _steal_pct(b, _cpu_stat()) <= target_pct:
+            return
+
 
 
 def main() -> None:
@@ -168,7 +204,9 @@ def main() -> None:
         urls_per_host=URLS_PER_HOST,
         links_per_span_max=LINKS_PER_SPAN,
         spans_max=SPANS_MAX,
-        dead_link_pct=8,
+        dead_link_pct=DEAD_PCT,
+        dup_pct=DUP_PCT,
+        hot_pct=HOT_PCT,
     )
     Path(WORKDIR).mkdir(parents=True, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="bench_run_", dir=WORKDIR)
@@ -178,6 +216,7 @@ def main() -> None:
     corpus_path = (
         f"{WORKDIR}/corpus_{NDOCS}_{params.urls_per_host}_"
         f"{params.links_per_span_max}_{params.spans_max}_{params.dead_link_pct}"
+        f"_{params.dup_pct}_{params.hot_pct}"
     )
     done_marker = Path(corpus_path + ".done")
     if not done_marker.exists():
@@ -255,12 +294,24 @@ def main() -> None:
     wid = eng.start_crawl(seed, 2, crawl_id="warm")
     eng.run_crawl(wid)
 
-    s0 = _cpu_stat()
-    t0 = time.time()
-    cid = eng.start_crawl(seed, DEPTH, crawl_id="bench")
-    eng.run_crawl(cid)
-    crawl_sec = time.time() - t0
-    crawl_steal = _steal_pct(s0, _cpu_stat())
+    gate_attempts: list[dict] = []
+    best = None  # (cid, wall, steal)
+    for k in range(max(1, STEAL_ATTEMPTS)):
+        _wait_for_calm(CALM_WAIT_SEC, target_pct=min(3.0, STEAL_GATE_PCT))
+        s0 = _cpu_stat()
+        t0 = time.time()
+        cid_k = eng.start_crawl(seed, DEPTH, crawl_id=f"bench{k}")
+        eng.run_crawl(cid_k)
+        wall_k = time.time() - t0
+        steal_k = _steal_pct(s0, _cpu_stat())
+        gate_attempts.append(
+            {"wall_sec": round(wall_k, 3), "cpu_steal_pct": steal_k}
+        )
+        if best is None or steal_k < best[2]:
+            best = (cid_k, wall_k, steal_k)
+        if steal_k <= STEAL_GATE_PCT:
+            break
+    cid, crawl_sec, crawl_steal = best
 
     m = store.metrics(spark, cid).filter("partition_id = -1").collect()
     urls_processed = sum(r.fetched for r in m)
@@ -372,16 +423,19 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     qs = entry_mod.queries()
     qtimes: dict[str, float] = {}
+    q_s0 = _cpu_stat()
     for name in BENCH_QUERIES if not SKIP_QUERIES else []:
         t = time.time()
         qs[name](spark, SF_DIR).collect()
         qtimes[name] = round(time.time() - t, 3)
+    queries_steal = _steal_pct(q_s0, _cpu_stat())
 
     out = {
         "metric": "crawl_wall_sec",
         "value": round(crawl_sec, 3),
         "unit": "sec",
         "queries": qtimes,
+        "queries_cpu_steal_pct": queries_steal,
         "sf": sf,
         "cpus": CPUS,
         "bloom": {"distribution": BLOOM_DIST, "min_seen": BLOOM_MIN_SEEN},
@@ -404,6 +458,9 @@ def main() -> None:
             "frontier_reconstruct_sec": reconstruct_sec,
             "cpu_steal_pct": crawl_steal,
         },
+        "steal_gated": crawl_steal <= STEAL_GATE_PCT,
+        "steal_gate_pct": STEAL_GATE_PCT,
+        "steal_gate_attempts": gate_attempts,
     }
     if bloom_cands:
         out["crawl"]["bloom_candidates_tested"] = bloom_cands

@@ -432,3 +432,50 @@ def test_bloom_adaptive_gate_disables_in_dup_regime(spark, tmp_path, monkeypatch
     last_control = max(i for i, n in enumerate(control_waves) if n > 0)
     assert last_gated < last_control, (gated_waves, control_waves)
     assert sum(gated_waves) < sum(control_waves)
+
+
+def test_bloom_gate_trip_persists_across_resume(spark, tmp_path, monkeypatch):
+    """round-4 ADVICE: the adaptive-gate decision was in-memory only, so
+    every resume re-built the O(frontier) BloomState and re-paid the
+    one-wave measurement before re-tripping.  The trip is now persisted
+    in the crawl meta; a resume starts with the prefilter already off,
+    the stale on-disk bucket state deleted, and zero candidates tested
+    on the resumed waves.  Final state stays oracle-parity-identical."""
+    import web_crawler_spark.engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "BLOOM_GATE_MIN_SAMPLE", 1)
+    params = CorpusParams(n_docs=80)
+    corpus = build_corpus_py(params)
+    docs = documents_df_from_py(spark, corpus).cache()
+    seed = good_seeds(corpus, CFG)[0]
+    cfg = CrawlConfig(
+        use_bloom_prefilter=True, bloom_min_seen=0, bloom_min_cut_frac=0.999,
+    )
+    store = SnapshotStore(tmp_path / "s")
+    eng = CrawlEngine(spark, store, docs, cfg)
+    cid = eng.start_crawl(seed, 3, crawl_id="c")
+    # run until the gate trips (first measured wave, threshold 0.999)
+    eng.run_crawl(cid, max_waves=2)
+    meta = store.read_crawl_meta(cid)
+    assert meta.get("bloom_gate_tripped"), "gate should have tripped"
+    trip_wave = meta["bloom_gate_tripped"]
+    assert not (store.crawl_dir(cid) / "bloom").exists(), (
+        "stale bucket state must be deleted on trip"
+    )
+    # resume with a FRESH engine: the persisted trip must hold — no
+    # rebuild, no candidates tested on any resumed wave
+    eng2 = CrawlEngine(spark, store, docs, cfg, prepared=False)
+    meta2 = eng2.run_crawl(cid)
+    assert meta2["status"] == "completed"
+    assert not (store.crawl_dir(cid) / "bloom").exists()
+    for w in store.committed_waves(cid):
+        if w > trip_wave:
+            s = store.wave_summary(cid, w)
+            assert int(s.get("bloom_candidates") or 0) == 0, (w, s)
+    # physical-only: end state identical to the plain-join crawl
+    store_p = SnapshotStore(tmp_path / "p")
+    eng_p = CrawlEngine(spark, store_p, docs, CrawlConfig(use_bloom_prefilter=False))
+    eng_p.start_crawl(seed, 3, crawl_id="c")
+    eng_p.run_crawl("c")
+    docs.unpersist()
+    assert engine_state(spark, store, cid) == engine_state(spark, store_p, "c")

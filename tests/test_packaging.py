@@ -17,10 +17,17 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 ROOT = Path(__file__).resolve().parent.parent
+# driver-generated fixture dir; overridable so the gate SKIPS (not
+# errors) on a machine without the fixture (round-4 ADVICE)
+SF_SMALL = os.environ.get("SPARK_GRAFT_SF_SMALL_DIR", "/root/testdata/sf0.001")
 
 
 def test_driver_contract_passes_from_zip_alone():
+    if not Path(SF_SMALL).is_dir():
+        pytest.skip(f"testdata fixture {SF_SMALL} not present")
     build = subprocess.run(
         ["bash", str(ROOT / "scripts" / "build_pyfiles.sh")],
         capture_output=True, text=True, timeout=120,
@@ -30,7 +37,7 @@ def test_driver_contract_passes_from_zip_alone():
     proc = subprocess.run(
         [
             sys.executable, "-u", str(ROOT / "scripts" / "check_entry.py"),
-            "/root/testdata/sf0.001", "crawl_bfs_demo",
+            SF_SMALL, "crawl_bfs_demo",
         ],
         capture_output=True, text=True, timeout=420, env=env, cwd=str(ROOT),
     )

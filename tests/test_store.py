@@ -169,3 +169,98 @@ def test_crawl_compacts_mid_run_and_resumes(spark, tmp_path):
     eng_p.run_crawl("c")
     docs.unpersist()
     assert engine_state(spark, store_c, cid) == engine_state(spark, store_p, "c")
+
+
+def test_registry_backfills_pre_registry_store(spark, tmp_path):
+    """A store written before the JSONL registry existed must not lose
+    its older crawls from the listing APIs when the first new write
+    creates the registry (round-4 ADVICE): the first write backfills
+    every existing crawl.json into the new registry."""
+    store = SnapshotStore(tmp_path)
+    store.write_crawl_meta({"crawl_id": "old1", "status": "completed"})
+    store.write_crawl_meta({"crawl_id": "old2", "status": "completed"})
+    # simulate the pre-registry layout: crawl.json dirs, no registry file
+    store._crawl_registry_path().unlink()
+    assert set(store.list_crawls()) == {"old1", "old2"}  # dir-scan fallback
+    store.write_crawl_meta({"crawl_id": "new", "status": "running"})
+    assert store._crawl_registry_path().exists()
+    assert set(store.list_crawls()) == {"old1", "old2", "new"}
+    # and the registry itself (not the fallback) now carries all three
+    metas = store.read_all_metas()
+    assert metas["old1"]["status"] == "completed"
+    assert metas["new"]["status"] == "running"
+
+
+def test_markerless_base_dir_gcd(spark, tmp_path):
+    """A compact() that crashed before writing _BASE leaves a marker-less
+    base_v dir; both clean_uncommitted and the next compact() (at ANY
+    upto wave) must remove it (round-4 ADVICE)."""
+    store = SnapshotStore(tmp_path)
+    store.write_crawl_meta({"crawl_id": "c", "status": "running"})
+    ins = spark.createDataFrame(
+        [_frontier_row("c", 1, "HTTPS://A.TEST")], FRONTIER_SCHEMA
+    )
+    store.write_delta(ins, "c", 0, "inserts")
+    store.commit_wave("c", 0, {})
+    # crashed attempt at a DIFFERENT wave number than the next compact
+    stale = store.crawl_dir("c") / "base_v99999"
+    (stale / "frontier.parquet").mkdir(parents=True)
+    assert store.current_base("c") is None  # invisible to readers
+    assert store.last_committed_wave("c") == 0
+    store.clean_uncommitted("c")
+    assert not stale.exists()
+    # and via compact() directly
+    stale2 = store.crawl_dir("c") / "base_v00777"
+    stale2.mkdir(parents=True)
+    assert store.compact(spark, "c") == 0
+    assert not stale2.exists()
+    assert store.current_base("c")[0] == 0
+
+
+def test_compact_safe_with_cache_eviction_mid_run(spark, tmp_path):
+    """round-4 ADVICE (medium): store.compact() GCs the wave delta files
+    the live cached frontier's lineage references; if the cache is
+    evicted (executor loss at the cluster design point) recomputation
+    must NOT hit FileNotFoundError.  The engine now truncates lineage
+    (eager localCheckpoint) before compacting on non-checkpoint waves.
+    Simulated by clearing the Spark block-manager cache right after
+    every compaction, with compaction cadence deliberately NOT aligned
+    to the plan-checkpoint cadence."""
+    from tests.helpers import engine_state, good_seeds
+    from web_crawler_spark.config import CrawlConfig
+    from web_crawler_spark.corpus import (
+        CorpusParams,
+        build_corpus_py,
+        documents_df_from_py,
+    )
+    from web_crawler_spark.engine import CrawlEngine
+
+    corpus = build_corpus_py(CorpusParams(n_docs=60))
+    docs = documents_df_from_py(spark, corpus).cache()
+    # store-compaction every 2 waves; plan checkpoint never (1000) => the
+    # frontier is a persist()ed DataFrame whose lineage reads wave files
+    cfg = CrawlConfig(store_compact_every_waves=2, compact_every_waves=1000)
+    seed = good_seeds(corpus, cfg)[0]
+    store = SnapshotStore(tmp_path / "evict")
+
+    orig_compact = store.compact
+
+    def compact_then_evict(sess, crawl_id):
+        upto = orig_compact(sess, crawl_id)
+        # evict every persisted block: any later action on the frontier
+        # must recompute — from truncated lineage, not the deleted files
+        sess.catalog.clearCache()
+        return upto
+
+    store.compact = compact_then_evict
+    eng = CrawlEngine(spark, store, docs, cfg)
+    cid = eng.start_crawl(seed, 4, crawl_id="c")
+    meta = eng.run_crawl(cid)
+    assert meta["status"] == "completed"
+
+    store_p = SnapshotStore(tmp_path / "plain")
+    eng_p = CrawlEngine(spark, store_p, docs, CrawlConfig())
+    eng_p.start_crawl(seed, 4, crawl_id="c")
+    eng_p.run_crawl("c")
+    docs.unpersist()
+    assert engine_state(spark, store, cid) == engine_state(spark, store_p, "c")

@@ -49,6 +49,7 @@ Scale design (10^10-URL frontier, 1000 executors):
 from __future__ import annotations
 
 import logging
+import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -396,8 +397,13 @@ class CrawlEngine:
         # adaptive payoff gate (cfg.bloom_min_cut_frac): sticky-off once
         # a measured wave shows the prefilter certifying almost nothing —
         # in a BFS the duplicate fraction of candidates only grows as the
-        # frontier converges, so a wave that cannot pay never pays again
-        bloom_pays = True
+        # frontier converges, so a wave that cannot pay never pays again.
+        # The trip is PERSISTED in the crawl meta (round-4 ADVICE): without
+        # it every resume reset the gate, triggering a full O(frontier)
+        # BloomState rebuild before the gate re-tripped one wave later —
+        # repeated wasted scans in exactly the dup-dominated regime the
+        # gate exists for.
+        bloom_pays = not meta.get("bloom_gate_tripped")
 
         def _resolve_counts() -> None:
             """Block on the pending frontier-count job (if any), validate
@@ -458,10 +464,12 @@ class CrawlEngine:
                         self.store.frontier(self.spark, crawl_id)
                     )
                     n_seen, n_pending = count_fn()  # no overlap available yet
-                    if last_wave and partition_local:
+                    if last_wave and partition_local and bloom_pays:
                         # resume: reuse persisted per-bucket state only if
                         # its manifest matches the last committed wave
-                        # (BroadcastBloom is never persisted — rebuilt)
+                        # (BroadcastBloom is never persisted — rebuilt).
+                        # Skipped entirely when the persisted gate already
+                        # tripped: the on-disk state is stale by design.
                         bloom = BloomState.load(
                             bloom_root, self.cfg, expect_wave=last_wave
                         )
@@ -574,6 +582,12 @@ class CrawlEngine:
                         )
                         bloom_pays = False
                         bloom = None
+                        # persist the trip so a resume neither rebuilds
+                        # the state nor re-pays the one-wave measurement;
+                        # the stale on-disk bucket files go with it
+                        meta["bloom_gate_tripped"] = wave
+                        self.store.write_crawl_meta(meta)
+                        shutil.rmtree(bloom_root, ignore_errors=True)
                 # the folded next frontier was constructed INSIDE the wave;
                 # its materialization job is still running on the pool and
                 # resolves lazily (next wave's first action / compaction /
@@ -588,6 +602,19 @@ class CrawlEngine:
                     # resolve first: the pending count job reads the wave
                     # files compaction is about to fold away
                     _resolve_counts()
+                    if wave % self.cfg.compact_every_waves != 0:
+                        # the persisted frontier's LINEAGE still references
+                        # the wave delta files compact() is about to GC —
+                        # on cache eviction (or executor loss at the
+                        # cluster design point) recomputation would hit
+                        # FileNotFoundError mid-crawl (round-4 ADVICE).
+                        # Checkpoint waves are already lineage-free (the
+                        # lazy localCheckpoint materialized under the count
+                        # job _resolve_counts just awaited); for the rest,
+                        # truncate eagerly before deleting the files.
+                        ckpt = frontier.localCheckpoint(eager=True)
+                        frontier.unpersist()
+                        frontier = ckpt
                     self.store.compact(self.spark, crawl_id)
                 wave += 1
                 waves_done += 1

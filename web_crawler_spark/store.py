@@ -133,10 +133,27 @@ class SnapshotStore:
         tmp = d / "crawl.json.tmp"
         tmp.write_text(json.dumps(meta, indent=1))
         tmp.replace(d / "crawl.json")  # atomic rename
+        # first write on a PRE-REGISTRY store: backfill every existing
+        # crawl.json into the new registry before appending, or the older
+        # crawls silently vanish from the listing APIs the moment the
+        # registry file exists (round-4 ADVICE).  One O(n) scan, once.
+        reg_path = self._crawl_registry_path()
+        if not reg_path.exists():
+            lines = [
+                (p / "crawl.json").read_text().replace("\n", "")
+                for p in sorted(self.root.glob("crawls/*"))
+                if (p / "crawl.json").exists() and p != d
+            ]
+            if lines:
+                tmp_reg = reg_path.with_suffix(".tmp")
+                tmp_reg.write_text("".join(
+                    json.dumps(json.loads(ln)) + "\n" for ln in lines
+                ))
+                tmp_reg.replace(reg_path)
         # append-only index entry: O(1) write; a torn tail line from a
         # crash is skipped by readers, and crawl.json stays authoritative
         # for single-crawl reads
-        with self._crawl_registry_path().open("a") as f:
+        with reg_path.open("a") as f:
             f.write(json.dumps(meta) + "\n")
 
     def read_all_metas(self) -> dict[str, dict]:
@@ -282,9 +299,12 @@ class SnapshotStore:
             return None
         upto = waves[-1]
         old_bases = self._base_dirs(crawl_id)
+        # GC every marker-less base dir (a compact() that crashed before
+        # its _BASE marker, at ANY wave number — round-4 ADVICE: the old
+        # same-name check only caught a crash that recurred at the exact
+        # same upto wave), including a leftover at the target name
+        self._gc_incomplete_bases(crawl_id)
         new_base = self.crawl_dir(crawl_id) / f"base_v{upto:05d}"
-        if new_base.exists():  # leftover from a crashed attempt
-            shutil.rmtree(new_base)
         # consolidated current state (reads old base + all wave deltas)
         self.frontier(spark, crawl_id).coalesce(8).write.parquet(
             str(new_base / "frontier.parquet")
@@ -306,6 +326,19 @@ class SnapshotStore:
             shutil.rmtree(p, ignore_errors=True)
         return upto
 
+    def _gc_incomplete_bases(self, crawl_id: str) -> list[str]:
+        """Remove base_v* dirs lacking the _BASE marker (a compact()
+        crash before the marker rename); harmless to readers, which only
+        ever see marker-complete bases."""
+        d = self.crawl_dir(crawl_id)
+        removed = []
+        if d.exists():
+            for p in d.iterdir():
+                if p.name.startswith("base_v") and not (p / "_BASE").exists():
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p.name)
+        return removed
+
     def committed_waves(self, crawl_id: str) -> list[int]:
         d = self.crawl_dir(crawl_id)
         if not d.exists():
@@ -317,7 +350,8 @@ class SnapshotStore:
         return sorted(out)
 
     def clean_uncommitted(self, crawl_id: str) -> list[int]:
-        """Drop partial wave dirs (crash mid-wave) before resuming."""
+        """Drop partial wave dirs (crash mid-wave) and marker-less base
+        dirs (crash mid-compaction) before resuming."""
         d = self.crawl_dir(crawl_id)
         dropped = []
         if d.exists():
@@ -325,6 +359,7 @@ class SnapshotStore:
                 if p.name.startswith("wave_") and not (p / "_COMMITTED").exists():
                     shutil.rmtree(p)
                     dropped.append(int(p.name[5:]))
+        self._gc_incomplete_bases(crawl_id)
         return dropped
 
     def commit_wave(self, crawl_id: str, wave: int, summary: dict) -> None:
