@@ -65,7 +65,14 @@ EOF
 }
 
 mkdir -p BENCH/eventlogs/r5
-run_leg 32 0-31 r5_pin32
-run_leg 8  0-7  r5_pin8 SPARK_GRAFT_EVENTLOG=BENCH/eventlogs/r5
-run_leg 2  0-1  r5_pin2
+# eventlog path MUST be absolute: Spark builds file://$path and Hadoop
+# rejects a relative authority ("Wrong FS: file://BENCH/...")
+LEGS="${LEGS:-r5_pin32 r5_pin8 r5_pin2}"
+for leg in $LEGS; do
+  case "$leg" in
+    r5_pin32) run_leg 32 0-31 r5_pin32 ;;
+    r5_pin8)  run_leg 8  0-7  r5_pin8 SPARK_GRAFT_EVENTLOG=/root/repo/BENCH/eventlogs/r5 ;;
+    r5_pin2)  run_leg 2  0-1  r5_pin2 ;;
+  esac
+done
 echo DONE

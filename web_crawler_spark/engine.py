@@ -49,6 +49,7 @@ Scale design (10^10-URL frontier, 1000 executors):
 from __future__ import annotations
 
 import logging
+import os
 import shutil
 import time
 import uuid
@@ -75,6 +76,10 @@ log = logging.getLogger(__name__)
 # before its measured cut can switch the prefilter off — tail waves with
 # a handful of candidates would otherwise noise-trip the sticky gate
 BLOOM_GATE_MIN_SAMPLE = 1024
+
+# per-wave phase timers (serial-floor attribution; prints one line per
+# wave to the log — measurement only, zero cost when off)
+WAVE_TIMERS = os.environ.get("SPARK_GRAFT_WAVE_TIMERS", "") == "1"
 
 PENDING, COMPLETED, FAILED, CANCELLED = "PENDING", "COMPLETED", "FAILED", "CANCELLED"
 
@@ -1069,8 +1074,12 @@ class CrawlEngine:
         # wave pipeline (explode/bloom/window over millions of rows)
         # through that handful of tasks and serialize the heavy stage —
         # the cache must be filled by a full-width job first.
+        _tm: dict | None = {"plan": time.time() - t0} if WAVE_TIMERS else None
         if frontier_resolve is not None:
             frontier_resolve()  # idempotent (bloom path resolved earlier)
+        if _tm is not None:
+            _tm["resolve"] = time.time() - t0 - _tm["plan"]
+            _t_prev = time.time()
         f = F.col("is_fresh")
         part_rows = (
             cand.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -1095,6 +1104,9 @@ class CrawlEngine:
             )
             .collect()
         )
+        if _tm is not None:
+            _tm["metrics_job"] = time.time() - _t_prev
+            _t_prev = time.time()
         raw_total = sum(int(r["n_raw"]) for r in part_rows)
         candidates = sum(int(r["candidates"]) for r in part_rows)
         dns_dropped = sum(int(r["dns_dropped"]) for r in part_rows)
@@ -1124,6 +1136,9 @@ class CrawlEngine:
             )
             if updates is not None:
                 delta = delta.unionByName(self._as_union(updates, "updates"))
+            if _tm is not None:
+                _tm["union_build"] = time.time() - _t_prev
+                _t_prev = time.time()
             write_fut = pool.submit(
                 self.store.write_delta_union, delta, crawl_id, wave
             )
@@ -1142,7 +1157,13 @@ class CrawlEngine:
                     bloom.update(bloom_delta, wave)
                 else:
                     bloom.update(bloom_delta)
+            if _tm is not None:
+                _tm["bloom_upd"] = time.time() - _t_prev
+                _t_prev = time.time()
             write_fut.result()
+            if _tm is not None:
+                _tm["write_wait"] = time.time() - _t_prev
+                _t_prev = time.time()
             if upd_obs is not None:
                 og = upd_obs.get
                 fetched, ok = int(og["fetched"]), int(og["ok"])
@@ -1167,6 +1188,9 @@ class CrawlEngine:
                 )
                 next_df, count_fn = self._prepare_frontier(fold, checkpoint)
                 mat = (next_df, pool.submit(count_fn))
+            if _tm is not None:
+                _tm["obs_fold"] = time.time() - _t_prev
+                _t_prev = time.time()
 
             elapsed_ms = int((time.time() - t0) * 1000)
             metrics_rows = [
@@ -1206,6 +1230,14 @@ class CrawlEngine:
             self.store.commit_wave(
                 crawl_id, wave, {k: v for k, v in result.__dict__.items()}
             )
+            if _tm is not None:
+                _tm["commit"] = time.time() - _t_prev
+                _tm["total"] = time.time() - t0
+                print(
+                    f"WAVE_TIMERS {crawl_id} w{wave} "
+                    + " ".join(f"{k}={v:.3f}" for k, v in _tm.items()),
+                    flush=True,
+                )
         finally:
             # always reached (round-3 ADVICE: a raise between pool
             # creation and the success-path shutdown leaked the pool)
