@@ -101,8 +101,12 @@ def main() -> None:
             i += 1
 
     by = lambda n, nd: [s["wall"] for s in samples if s["cpus"] == n and s["ndocs"] == nd]
-    legs600 = {n: stats(by(n, 600000)) for n in (2, 8, 32) if by(n, 600000)}
-    legs2m = {n: stats(by(n, 2000000)) for n in (2, 8) if by(n, 2000000)}
+    all_nd = sorted({s["ndocs"] for s in samples})
+    legs_by_nd = {
+        nd: {n: stats(by(n, nd)) for n in (2, 8, 32) if by(n, nd)} for nd in all_nd
+    }
+    legs600 = legs_by_nd.get(600000, {})
+    legs2m = legs_by_nd.get(2000000, {})
 
     def adjacent_ratios(small: int, big: int, nd: int) -> list[dict]:
         out = []
@@ -159,14 +163,19 @@ def main() -> None:
         ),
         "legs_600k": legs600,
         "legs_2m": legs2m,
+        "legs_by_ndocs": {str(nd): legs_by_nd[nd] for nd in all_nd},
         "pairs": [
             p
             for p in (
-                pair(2, 8, legs600, 600000),
-                pair(8, 32, legs600, 600000),
-                pair(2, 8, legs2m, 2000000),
+                [pair(2, 8, legs_by_nd[nd], nd) for nd in all_nd]
+                + [pair(8, 32, legs_by_nd[nd], nd) for nd in all_nd]
             )
             if p
+        ],
+        "scale_trend_2to8": [
+            {"ndocs": nd, "efficiency_adjacent_mean": p["efficiency_adjacent_mean"]}
+            for nd in all_nd
+            if (p := pair(2, 8, legs_by_nd[nd], nd)) and p["efficiency_adjacent_mean"]
         ],
         "samples": samples,
     }

@@ -74,7 +74,8 @@ def run_leg(cpus: int) -> dict | None:
         SPARK_GRAFT_CALM_WAIT="0",
     )
     r = subprocess.run(
-        ["taskset", "-ac", CPULIST[cpus], "timeout", "1200",
+        ["taskset", "-ac", CPULIST[cpus], "timeout",
+         os.environ.get("LEG_TIMEOUT", "1200"),
          sys.executable, "-u", str(REPO / "bench.py")],
         capture_output=True, text=True, env=env, cwd=str(REPO),
     )
