@@ -106,6 +106,17 @@ class CrawlConfig:
     # politeness-bounded by design.
     fold_broadcast_max_rows: int = 0
 
+    # Disable PySpark's per-API-call call-site capture for DataFrame
+    # error context (public conf
+    # spark.python.sql.dataFrameDebugging.enabled) for the engine's
+    # session: the capture is an inspect stack walk + 2-3 extra py4j
+    # round-trips on EVERY DataFrame/Column call — measured ~65% of the
+    # wave loop's py4j traffic (29.3k -> 8.9k round-trips/crawl together
+    # with the union-cols cache, scripts/profile_wave_plan.py), pure
+    # driver-serial floor.  Cost:
+    # error messages lose the user-code call-site line.  Session-wide.
+    disable_df_debugging: bool = True
+
     # snapshot store: plan-lineage checkpoint cadence (in-memory frontier)
     compact_every_waves: int = 8
     # physical delta compaction cadence (store.compact: fold committed

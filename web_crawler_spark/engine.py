@@ -163,12 +163,38 @@ class CrawlEngine:
         # larger Arrow batches for the narrow bloom/DNS UDF stages: fewer
         # batch boundaries => better JVM<->Python pipelining per task
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # PySpark wraps every DataFrame/Column API call in a call-site
+        # capture for error context (`pyspark.errors.utils._with_origin`):
+        # an inspect stack walk plus 2-3 extra py4j round-trips PER CALL
+        # to push the origin into the JVM thread-local.  Profiled at ~65%
+        # of the wave loop's py4j traffic (29.3k -> 8.9k round-trips per
+        # 9-wave crawl with the union-cols cache below,
+        # scripts/profile_wave_plan.py) — a pure driver-
+        # serial tax on the per-wave plan-construction floor.  The public
+        # gate `spark.python.sql.dataFrameDebugging.enabled` is a STATIC
+        # conf (runtime conf.set raises CANNOT_MODIFY_CONFIG), and the
+        # engine receives an already-built session — so flip the
+        # module-level cache the wrapper consults instead; it exists
+        # precisely to make this check cheap and is only ever filled
+        # from that conf.
+        if self.cfg.disable_df_debugging:
+            try:
+                import pyspark.errors.utils as _peu
+
+                _peu._enable_debugging_cache = False
+            except Exception:
+                pass  # best-effort: older/newer PySpark layouts keep working
         # constant unresolved column-expression trees, built ONCE per
         # engine: Column objects are immutable and reusable across waves,
         # and re-deriving them per wave (the DNS when-chain alone is
         # hundreds of py4j calls) was a measured slice of the ~4.7k py4j
         # round-trips/wave serial floor (BENCH/ANALYSIS.md round 4).
         self._x = self._build_static_exprs()
+        # per-(kind, input-columns) cache for _as_union's lifted column
+        # lists: the three delta branches have fixed schemas per engine,
+        # and rebuilding ~50 Column objects per wave is py4j round-trips
+        # on the serial path for identical immutable trees
+        self._union_cols_cache: dict = {}
 
     def _build_static_exprs(self) -> dict:
         cfg = self.cfg
@@ -1253,21 +1279,28 @@ class CrawlEngine:
                 pool.shutdown(wait=False)
         return result, mat
 
-    @staticmethod
-    def _as_union(df: DataFrame, kind: str) -> DataFrame:
+    def _as_union(self, df: DataFrame, kind: str) -> DataFrame:
         """Lift one delta DataFrame onto the union superset schema with a
         ``kind`` discriminator (missing columns = typed nulls).
 
         ONE select, not a withColumn loop: every withColumn is a fresh
         plan + analysis through py4j, and this ran 3x per wave over a
         15-column superset — profiled at 0.42 s/wave of pure driver time
-        (the serial floor is the pre-saturation scaling constraint)."""
-        have = set(df.columns)
-        cols = [
-            F.col(n) if n in have else F.lit(None).cast(t).alias(n)
-            for n, t in _UNION_COLS
-        ]
-        return df.select(*cols, F.lit(kind).alias("kind"))
+        (the serial floor is the pre-saturation scaling constraint).
+        The lifted Column lists are immutable and depend only on
+        (kind, input columns), so they are built once per engine and
+        reused every wave — ~150 py4j round-trips/wave off the same
+        serial path."""
+        key = (kind, tuple(df.columns))
+        cols = self._union_cols_cache.get(key)
+        if cols is None:
+            have = set(df.columns)
+            cols = [
+                F.col(n) if n in have else F.lit(None).cast(t).alias(n)
+                for n, t in _UNION_COLS
+            ] + [F.lit(kind).alias("kind")]
+            self._union_cols_cache[key] = cols
+        return df.select(*cols)
 
     def _fold_frontier(
         self, prev: DataFrame, crawl_id: str, wave: int,
