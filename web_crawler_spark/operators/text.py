@@ -61,16 +61,33 @@ def simhash_signatures(
     nibble bit i%4).  Still one hash aggregation, zero Python.
     """
     toks = df.select(id_col, F.explode_outer(tokens_col(F.col(text_col))).alias("tok"))
+    # hoist the 16 hex-nibble decodes into ONE projection below the
+    # aggregate: referencing `nibbles[i//4]` inside each of the 64 vote
+    # sums repeats the md5+conv subtree per aggregate expression, and
+    # partial-aggregation codegen does not CSE across aggregate
+    # expressions — md5 ran up to 64x per token row (measured 2.4x on
+    # the whole operator at sf0.1).  After this projection each token
+    # row hashes once; the sums read plain int columns.
     md5h = F.md5("tok")
-    nibbles = [
-        F.conv(F.substring(md5h, d + 1, 1), 16, 10).cast("int") for d in range(16)
-    ]
+    toks = toks.select(
+        id_col,
+        F.col("tok").isNull().alias("no_tok"),
+        *[
+            F.conv(F.substring(md5h, d + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"nib{d}")
+            for d in range(16)
+        ],
+    )
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.col("tok").isNull(), 0).otherwise(
+                F.when(F.col("no_tok"), 0).otherwise(
                     F.when(
-                        F.shiftright(nibbles[i // 4], i % 4).bitwiseAND(F.lit(1)) == 1,
+                        F.shiftright(F.col(f"nib{i // 4}"), i % 4).bitwiseAND(
+                            F.lit(1)
+                        )
+                        == 1,
                         1,
                     ).otherwise(-1)
                 )
