@@ -101,7 +101,18 @@ def simhash_signatures(
             for i in range(SIG_BITS - 1, -1, -1)
         ]
     )
-    out = votes.select(id_col, sig.alias("sig"))
+    # the same signature bit-packed into ONE bigint: hamming becomes
+    # bit_count(xor) (one instruction-ish) instead of split/zip_with over
+    # 64-element string arrays, and the pair join carries 8 bytes per
+    # side instead of a 64-char string.
+    sig_int = F.lit(0).cast("long")
+    for i in range(SIG_BITS):
+        sig_int = sig_int.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    out = votes.select(id_col, sig.alias("sig"), sig_int.alias("sig_int"))
     band_w = SIG_BITS // n_bands
     bands = F.array(
         *[
@@ -127,9 +138,19 @@ def hamming_col(sig_a: F.Column, sig_b: F.Column) -> F.Column:
     )
 
 
+def _band_int(sig_int: F.Column, b: int, band_w: int) -> F.Column:
+    """Band ``b`` of a bit-packed signature as an int (matches the string
+    banding: band b = sig-string chars b*w+1..(b+1)*w = bits 63-b*w down
+    to 64-(b+1)*w)."""
+    mask = (1 << band_w) - 1
+    return F.shiftrightunsigned(sig_int, SIG_BITS - (b + 1) * band_w).bitwiseAND(
+        F.lit(mask)
+    )
+
+
 def simhash_candidate_pairs(
     sigs: DataFrame, id_col: str, max_hamming: int = 8,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = None, n_bands: int = 8, n_salts: int = 16,
 ) -> DataFrame:
     """Banded LSH self-join: pairs sharing >=1 band, with exact Hamming.
 
@@ -144,14 +165,40 @@ def simhash_candidate_pairs(
     thousands of docs into one band and would otherwise go quadratic.
     Capping trades completeness for a hard bound on join fan-out; leave
     None for exact semantics.
+
+    Scale shape (round-5 rework; the naive form ran the WHOLE pair space
+    in one task at sf0.1 — 75 s, 752 MB spill):
+
+    * The join carries ``sig_int`` (8 bytes) per side, never the 64-char
+      string; Hamming is ``bit_count(a xor b)``.
+    * AQE coalesces shuffle partitions by INPUT size, and an LSH
+      self-join's input (one row per doc per band) is tiny while its
+      output is quadratic in bucket size — so AQE folds the explosive
+      join into one partition.  The left side is therefore salted by
+      ``pmod(xxhash64(id), n_salts)`` and explicitly
+      ``repartition(P, band_idx, band_bits, salt)`` (a user-pinned
+      partition count, which AQE must preserve); the right side
+      replicates each row to all ``n_salts`` salt values, so every pair
+      is still produced exactly once while a hot band's pair space is
+      split across ``n_salts`` independent partitions.
+    * In the exact (uncapped) path a pair is emitted ONLY at its first
+      shared band — lower-band equality is re-checked row-side from the
+      two sig_ints — so no ``dropDuplicates`` shuffle of the pair space
+      exists at all.  With ``bucket_cap`` the per-band membership can
+      differ, so the capped path keeps the dedup.
     """
+    band_w = SIG_BITS // n_bands
     banded = sigs.select(
-        F.col(id_col), F.col("sig"), F.explode("bands").alias("band")
-    ).select(
-        id_col, "sig",
-        F.col("band.band_idx").alias("band_idx"),
-        F.col("band.band_bits").alias("band_bits"),
+        F.col(id_col),
+        F.col("sig_int"),
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band_idx"),
     )
+    band_bits = F.lit(0).cast("long")
+    for b in range(n_bands):
+        band_bits = F.when(
+            F.col("band_idx") == b, _band_int(F.col("sig_int"), b, band_w)
+        ).otherwise(band_bits)
+    banded = banded.withColumn("band_bits", band_bits)
     if bucket_cap is not None:
         # salted two-stage first-N: boilerplate-heavy corpora concentrate
         # into few band values, and a single-stage window would route each
@@ -161,21 +208,48 @@ def simhash_candidate_pairs(
         banded = top_n_per_bucket(
             banded, ["band_idx", "band_bits"], id_col, bucket_cap
         )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
-        "band_idx", "band_bits",
+    n_part = int(
+        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
     )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig_int").alias("sig_a_int"),
         "band_idx", "band_bits",
+        F.pmod(F.xxhash64(id_col), F.lit(n_salts)).cast("int").alias("salt"),
+    ).repartition(n_part, "band_idx", "band_bits", "salt")
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig_int").alias("sig_b_int"),
+        "band_idx", "band_bits",
+        F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("salt"),
     )
     pairs = (
-        a.join(b, ["band_idx", "band_bits"])
+        a.join(b, ["band_idx", "band_bits", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])  # multiple shared bands => once
     )
-    return pairs.withColumn("hamming", hamming_col(F.col("sig_a"), F.col("sig_b"))).filter(
+    if bucket_cap is None:
+        # emit each pair only at its FIRST shared band: for band i, all
+        # lower bands must differ.  O(n_bands^2) shift/mask comparisons,
+        # fully codegen'd; replaces a dropDuplicates shuffle of the
+        # (quadratic) pair space with a row-local filter.
+        first_band = F.lit(True)
+        for i in range(1, n_bands):
+            lower_differ = F.lit(True)
+            for j in range(i):
+                lower_differ = lower_differ & (
+                    _band_int(F.col("sig_a_int"), j, band_w)
+                    != _band_int(F.col("sig_b_int"), j, band_w)
+                )
+            first_band = F.when(F.col("band_idx") == i, lower_differ).otherwise(
+                first_band
+            )
+        pairs = pairs.filter(first_band).select("id_a", "id_b", "sig_a_int", "sig_b_int")
+    else:
+        pairs = pairs.select(
+            "id_a", "id_b", "sig_a_int", "sig_b_int"
+        ).dropDuplicates(["id_a", "id_b"])  # multiple shared bands => once
+    return pairs.withColumn(
+        "hamming",
+        F.bit_count(F.col("sig_a_int").bitwiseXOR(F.col("sig_b_int"))),
+    ).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
 
