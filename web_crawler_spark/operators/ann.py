@@ -89,6 +89,46 @@ def signature_col(qv: F.Column, planes: np.ndarray) -> F.Column:
     return F.concat(*bits)
 
 
+def _banded_signatures(
+    vectors: DataFrame, planes: np.ndarray, n_tables: int,
+    id_col: str = "vec_id", vec_col: str = "v", spread: bool = True,
+) -> DataFrame:
+    """One row per (vector, table): (id, v, sig_arr, tbl, sig).
+
+    The round-4 shape recomputed the FULL n_tables-signature projection
+    once per table branch in a union-of-joins loop — n_tables scans, each
+    evaluating every table's signature (n_tables^2 signature computations
+    per vector, all inside however few tasks the parquet split yields).
+    Here the signatures are computed exactly once per vector into an
+    array, after an explicit round-robin ``repartition`` so the heavy
+    higher-order-function arithmetic spreads across the cluster instead
+    of riding the scan's (possibly single-file) task layout, and the
+    per-table rows come from one posexplode.  ``sig_arr`` stays on the
+    row so a self-join can re-check lower tables without another join.
+    """
+    n_part = int(
+        vectors.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    base = vectors if not spread else vectors.repartition(n_part)
+    base = base.withColumn("_qv", quantize_col(F.col(vec_col))).select(
+        id_col,
+        vec_col,
+        F.array(
+            *[signature_col(F.col("_qv"), planes[t]) for t in range(n_tables)]
+        ).alias("sig_arr"),
+    )
+    # posexplode_OUTER: sig_arr always has exactly n_tables elements, but
+    # with a plain posexplode the optimizer (InferFiltersFromGenerate)
+    # adds a `size(sig_arr) > 0` filter that gets pushed below the
+    # repartition into the scan — re-evaluating every signature aggregate
+    # per row inside the (possibly single-file) scan task, then again
+    # above the exchange.  The outer variant infers no filter.
+    return base.select(
+        id_col, vec_col, "sig_arr",
+        F.posexplode_outer("sig_arr").alias("tbl", "sig"),
+    )
+
+
 def near_dup_candidates_lsh(
     vectors: DataFrame,
     dim: int = 64,
@@ -96,6 +136,7 @@ def near_dup_candidates_lsh(
     n_tables: int = 6,
     seed: int = 7,
     bucket_cap: int | None = None,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH self-join — the 100 TB
     plan: pairs only from shared (table, signature) buckets, deduped.
@@ -110,37 +151,60 @@ def near_dup_candidates_lsh(
     The cap is applied to the bucket MEMBERSHIP (both join sides see the
     same capped set), so the output stays a subset of the uncapped one
     and the DuckDB oracle can replicate it exactly.
+
+    Scale shape (round 5, same rework as simhash_candidate_pairs): the
+    self-join's input is tiny per (table, sig) bucket while its output is
+    quadratic in bucket size, and AQE coalesces by INPUT bytes — so the
+    left side is salted by pmod(xxhash64(id), n_salts) with a user-pinned
+    repartition (AQE must preserve it) and the right side replicates
+    across salts; in the exact path a pair is emitted only at its FIRST
+    shared table (lower tables re-checked row-side from the carried
+    sig_arr), so no dropDuplicates shuffle of the pair space exists.
     """
     planes = hyperplanes(dim, n_planes, n_tables, seed)
-    sigs = vectors.withColumn("_qv", quantize_col(F.col("v"))).select(
-        "vec_id",
-        "v",
-        *[
-            signature_col(F.col("_qv"), planes[t]).alias(f"sig{t}")
-            for t in range(n_tables)
-        ],
+    banded = _banded_signatures(vectors, planes, n_tables)
+    if bucket_cap is not None:
+        # salted two-stage first-N: with only 2^n_planes distinct
+        # signatures, a single-stage window would route each hot
+        # bucket through ONE task (round-3 VERDICT #3)
+        banded = top_n_per_bucket(banded, ["tbl", "sig"], "vec_id", bucket_cap)
+    n_part = int(
+        vectors.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
     )
-    pairs = None
-    for t in range(n_tables):
-        side = sigs
-        if bucket_cap is not None:
-            # salted two-stage first-N: with only 2^n_planes distinct
-            # signatures, a single-stage window would route each hot
-            # bucket through ONE task (round-3 VERDICT #3)
-            side = top_n_per_bucket(sigs, [f"sig{t}"], "vec_id", bucket_cap)
-        a = side.select(
-            F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-            F.col(f"sig{t}").alias("_s"),
+    # the pair join moves IDs (+ the n_tables short signature strings in
+    # the exact path), never the vectors: the join output is quadratic in
+    # bucket size, so a ~0.5 KB embedding per side would dominate the
+    # shuffle, and a dedup over array columns can only run as a
+    # SortAggregate.  Vectors are re-attached by two id equi-joins on the
+    # (much smaller) deduped pair set.
+    arr_a = [F.col("sig_arr").alias("_arr_a")] if bucket_cap is None else []
+    arr_b = [F.col("sig_arr").alias("_arr_b")] if bucket_cap is None else []
+    a = banded.select(
+        F.col("vec_id").alias("id_a"), *arr_a, "tbl", "sig",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int").alias("salt"),
+    ).repartition(n_part, "tbl", "sig", "salt")
+    b = banded.select(
+        F.col("vec_id").alias("id_b"), *arr_b, "tbl", "sig",
+        F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("salt"),
+    )
+    pairs = a.join(b, ["tbl", "sig", "salt"]).filter(F.col("id_a") < F.col("id_b"))
+    if bucket_cap is None:
+        # keep a pair only at its first shared table: no lower table's
+        # signatures may match (row-local check on the carried arrays)
+        lower_match = F.exists(
+            F.zip_with(
+                F.slice(F.col("_arr_a"), 1, F.col("tbl")),
+                F.slice(F.col("_arr_b"), 1, F.col("tbl")),
+                lambda x, y: x == y,
+            ),
+            lambda m: m,
         )
-        b = side.select(
-            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-            F.col(f"sig{t}").alias("_s"),
-        )
-        p = a.join(b, "_s").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b", "va", "vb"
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.dropDuplicates(["id_a", "id_b"])
+        pairs = pairs.filter(~lower_match).select("id_a", "id_b")
+    else:
+        pairs = pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    va = vectors.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = vectors.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return pairs.join(va, "id_a").join(vb, "id_b")
 
 
 def lsh_topk(
@@ -161,39 +225,34 @@ def lsh_topk(
     bounds each (table, signature) bucket to its first N vec_ids.
     """
     planes = hyperplanes(dim, n_planes, n_tables, seed)
-    sigs = vectors.withColumn("_qv", quantize_col(F.col("v"))).select(
-        "vec_id",
-        "v",
-        *[
-            signature_col(F.col("_qv"), planes[t]).alias(f"sig{t}")
-            for t in range(n_tables)
-        ],
+    # one banded frame per side, ONE (tbl, sig) equi-join instead of the
+    # round-4 union of n_tables joins (which re-scanned the vectors and
+    # re-evaluated every table's signature once per branch); the tiny
+    # query side broadcasts, so the big side is scanned exactly once
+    # with no shuffle.
+    banded = _banded_signatures(vectors, planes, n_tables).drop("sig_arr")
+    if bucket_cap is not None:
+        # salted two-stage first-N (see near_dup_candidates_lsh)
+        banded = top_n_per_bucket(banded, ["tbl", "sig"], "vec_id", bucket_cap)
+    qbanded = _banded_signatures(
+        queries, planes, n_tables, id_col="query_id", vec_col="qv", spread=False
+    ).drop("sig_arr")
+    cands = (
+        F.broadcast(qbanded)
+        .join(banded, ["tbl", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "v")
     )
-    qsigs = queries.withColumn("_qv", quantize_col(F.col("qv"))).select(
-        "query_id",
-        "qv",
-        *[
-            signature_col(F.col("_qv"), planes[t]).alias(f"qsig{t}")
-            for t in range(n_tables)
-        ],
-    )
-    cands = None
-    for t in range(n_tables):
-        side = sigs
-        if bucket_cap is not None:
-            # salted two-stage first-N (see near_dup_candidates_lsh)
-            side = top_n_per_bucket(sigs, [f"sig{t}"], "vec_id", bucket_cap)
-        c = qsigs.join(
-            side, F.col(f"qsig{t}") == F.col(f"sig{t}"), "inner"
-        ).filter(F.col("vec_id") != F.col("query_id")).select(
-            "query_id", "qv", "vec_id", "v"
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates(["query_id", "vec_id"])
+    # score BEFORE deduping: cosine is deterministic, so duplicate
+    # (query, neighbor) candidates from different tables carry the same
+    # score and the dedup sees only scalar columns — a HashAggregate.
+    # Deduping first would drag the two vector arrays through the
+    # aggregate, which Spark can only run as a SortAggregate (hash agg
+    # buffers don't take arrays): a full sort of the candidate set.
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cosine"),
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
