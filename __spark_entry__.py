@@ -258,7 +258,12 @@ def q_minhash_band_buckets(spark, sf_dir):
     aggregates, then unpivot (stack) — the round-1 plan exploded the
     shingle set x4 bands before aggregating, quadrupling shuffle input
     (it was the slowest bench query for exactly that reason)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from web_crawler_spark.operators.skew import spread_if_narrow
+
+    # a single-file documents scan is ONE task; the shingle explode +
+    # 4x md5 partial aggregation above it inherits that (round-5 stage
+    # profile: 5.3s in one task at sf0.1) — no-op on wide scans
+    d = spread_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     words = _tokens(F.col("text"))
     n_sh = F.greatest(F.size(words) - F.lit(2), F.lit(0))
     shingles = F.transform(

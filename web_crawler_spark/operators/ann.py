@@ -100,16 +100,16 @@ def _banded_signatures(
     evaluating every table's signature (n_tables^2 signature computations
     per vector, all inside however few tasks the parquet split yields).
     Here the signatures are computed exactly once per vector into an
-    array, after an explicit round-robin ``repartition`` so the heavy
+    array, after a round-robin repartition (``spread_if_narrow``: a
+    no-op when the scan is already wide) so the heavy
     higher-order-function arithmetic spreads across the cluster instead
     of riding the scan's (possibly single-file) task layout, and the
     per-table rows come from one posexplode.  ``sig_arr`` stays on the
     row so a self-join can re-check lower tables without another join.
     """
-    n_part = int(
-        vectors.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
-    )
-    base = vectors if not spread else vectors.repartition(n_part)
+    from .skew import spread_if_narrow  # noqa: PLC0415
+
+    base = vectors if not spread else spread_if_narrow(vectors)
     base = base.withColumn("_qv", quantize_col(F.col(vec_col))).select(
         id_col,
         vec_col,

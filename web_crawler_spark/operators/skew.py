@@ -48,3 +48,24 @@ def top_n_per_bucket(
         .filter(F.col("_grn") <= n)
         .drop("_salt", "_lrn", "_grn")
     )
+
+
+def spread_if_narrow(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Round-robin repartition — but ONLY when the upstream plan is
+    under-parallel (fewer partitions than ``min_ratio`` x the session's
+    shuffle parallelism).
+
+    A small parquet table is one row group => ONE scan task no matter
+    how many cores exist, and any heavy per-row projection above it
+    (shingling, per-token hashing, LSH signature arithmetic) inherits
+    that serialization.  At real scale the scan is already split by
+    spark.sql.files.maxPartitionBytes into hundreds of tasks and this
+    helper is a NO-OP — it must not become a full shuffle of a 100 TB
+    text corpus just to fix a sandbox artifact.  Checking
+    ``df.rdd.getNumPartitions()`` costs one extra physical planning of
+    the subtree on the driver, no job.
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+    if df.rdd.getNumPartitions() >= max(1, int(n_part * min_ratio)):
+        return df
+    return df.repartition(n_part)

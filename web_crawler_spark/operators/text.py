@@ -60,7 +60,11 @@ def simhash_signatures(
     oracle (round-1 fix; bit i = nibble i//4 of the hex digest, within-
     nibble bit i%4).  Still one hash aggregation, zero Python.
     """
-    toks = df.select(id_col, F.explode_outer(tokens_col(F.col(text_col))).alias("tok"))
+    from .skew import spread_if_narrow  # noqa: PLC0415
+
+    toks = spread_if_narrow(df).select(
+        id_col, F.explode_outer(tokens_col(F.col(text_col))).alias("tok")
+    )
     # hoist the 16 hex-nibble decodes into ONE projection below the
     # aggregate: referencing `nibbles[i//4]` inside each of the 64 vote
     # sums repeats the md5+conv subtree per aggregate expression, and
@@ -272,8 +276,11 @@ def jaccard_pairs(
     space.  Standard practice in MinHash/shingle dedup pipelines; leave
     None for the uncapped exact join.
     """
+    from .skew import spread_if_narrow  # noqa: PLC0415
+
     sh = (
-        df.select(id_col, F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("sh"))
+        spread_if_narrow(df)
+        .select(id_col, F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("sh"))
         .distinct()
     )
     if max_df is not None:
