@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "embedding_near_dup_lsh",
     "media_features_real",
+    # the exact shingle-join near-dup (round-5: gained spread_if_narrow)
+    "jaccard_pairs",
 ]
 
 # headline steal gate (round-4 VERDICT #3): the official artifact was
