@@ -69,6 +69,7 @@ def load_samples() -> list[dict]:
                     "ndocs": d.get("ndocs")
                     or (600000 if d.get("urls_fetched") == 821449 else 2000000),
                     "block": f"h{i}",  # refined below by adjacency
+                    "ts": d.get("ts"),
                     "tput": d.get("tput"),
                     "membw_before": d.get("membw_copy_gbs_before"),
                     "membw_after": d.get("membw_copy_gbs_after"),
@@ -91,10 +92,30 @@ def main() -> None:
     # harness samples are appended in temporal order; group consecutive
     # (8,2) and (32,8) harness pairs into adjacency blocks
     hs = [s for s in samples if s["block"].startswith("h")]
+
+    def gap(x: dict, y: dict) -> float:
+        # temporal distance between legs; samples predating the ts field
+        # count as "far" so they never beat a same-session pair
+        if x.get("ts") and y.get("ts"):
+            return abs(y["ts"] - x["ts"])
+        return 1e9
+
     i = 0
     while i < len(hs) - 1:
         a, b = hs[i], hs[i + 1]
         if {a["cpus"], b["cpus"]} in ({8, 2}, {32, 8}) and a["ndocs"] == b["ndocs"]:
+            # "adjacent" must mean same host state: if the NEXT pair is
+            # also pairable and temporally tighter (e.g. a session
+            # boundary sits between a and b), skip a rather than pair
+            # legs hours apart
+            if (
+                i + 2 < len(hs)
+                and {b["cpus"], hs[i + 2]["cpus"]} in ({8, 2}, {32, 8})
+                and b["ndocs"] == hs[i + 2]["ndocs"]
+                and gap(b, hs[i + 2]) < gap(a, b)
+            ):
+                i += 1
+                continue
             a["block"] = b["block"] = f"adj{i}"
             i += 2
         else:
