@@ -131,7 +131,13 @@ def simhash_signatures(
 
 
 def hamming_col(sig_a: F.Column, sig_b: F.Column) -> F.Column:
-    """Hamming distance between two equal-length bit strings."""
+    """Hamming distance between two equal-length bit strings.
+
+    Kept as the string-form public helper (useful against the ``sig``
+    column); the pair pipeline itself uses ``bit_count(sig_int ^
+    sig_int)`` — one integer op instead of split/zip_with over
+    64-element arrays (round-5 rework).
+    """
     return F.size(
         F.filter(
             F.zip_with(
