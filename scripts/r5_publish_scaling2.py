@@ -132,14 +132,28 @@ def main() -> None:
     def adjacent_ratios(small: int, big: int, nd: int) -> list[dict]:
         out = []
         blocks: dict[str, dict[int, float]] = {}
+        probes: dict[str, list[float]] = {}
         for s in samples:
             if s["ndocs"] != nd or s["cpus"] not in (small, big):
                 continue
             blocks.setdefault(s["block"], {})[s["cpus"]] = min(
                 s["wall"], blocks.get(s["block"], {}).get(s["cpus"], 1e9)
             )
+            for k in ("membw_before", "membw_after"):
+                if s.get(k):
+                    probes.setdefault(s["block"], []).append(s[k])
         for blk, w in sorted(blocks.items()):
             if small in w and big in w:
+                # a block's ratio is only honest if host state held across
+                # BOTH legs; the 4 membw probes bracketing them are the
+                # state witness (round-5 finding: steal alone cannot see
+                # co-tenant DRAM/LLC pressure).  max/min <= 1.6 = held.
+                pr = probes.get(blk, [])
+                consistent = (
+                    round(max(pr) / min(pr), 2) <= 1.6
+                    if len(pr) >= 4 and min(pr) > 0
+                    else None
+                )
                 out.append(
                     {
                         "block": blk,
@@ -147,6 +161,10 @@ def main() -> None:
                         "wall_big": w[big],
                         "speedup": round(w[small] / w[big], 3),
                         "efficiency": round(w[small] / w[big] / (big / small), 3),
+                        "state_consistent": consistent,
+                        "membw_probe_spread": round(max(pr) / min(pr), 2)
+                        if len(pr) >= 4 and min(pr) > 0
+                        else None,
                     }
                 )
         return out
@@ -168,6 +186,14 @@ def main() -> None:
                 statistics.mean(r["efficiency"] for r in adj), 3
             )
             if adj
+            else None,
+            "efficiency_state_consistent_mean": round(
+                statistics.mean(
+                    r["efficiency"] for r in adj if r["state_consistent"]
+                ),
+                3,
+            )
+            if any(r["state_consistent"] for r in adj)
             else None,
         }
 
