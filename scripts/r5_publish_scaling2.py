@@ -32,6 +32,29 @@ from pathlib import Path
 
 BENCH = Path(__file__).resolve().parent.parent / "BENCH"
 
+# Round-5 final finding (BENCH/ANALYSIS.md "the 14M campaign"): host
+# contention is WIDTH-DEPENDENT — a co-tenant that leaves an 8-core
+# pinned leg at its best-ever wall (851.1 s @ 0.08% steal, 14M) inflates
+# concurrent 32-core legs 1.6-3.7x over their fast-era walls (pin32@10M
+# re-reads 508.5/693.6/1095.8 s vs 295.9 fast-era; pin32@14M never got a
+# fast-era draw).  GC (27 s of 682.6 s, zero full GCs), heap (42.8 G
+# peak of 48 G), swap (none) and run-averaged visible steal (0.28%) are
+# all ruled out by the instrumented leg.  Consequence: an adjacent-pair
+# ratio between legs of DIFFERENT widths is only honest when the host is
+# quiet for the wide leg too — era-suppressed wide legs bias 8->32
+# ratios down.  Pairs drawn entirely inside such an era are flagged.
+WIDE_SUPPRESSED: dict[tuple[int, int, int], str] = {
+    (8, 32, 14000000): (
+        "all pin32 14M draws (584.2-682.6 s) fall in the degraded era "
+        "whose concurrent pin32@10M re-draws read 1.7-3.7x their "
+        "fast-era walls while pin8 legs sit at/below their fast-era "
+        "linear projection (851.1 s = 1.35x the 10M best 629.0 s); the "
+        "fast-era linear projection for pin32@14M is <=414 s, giving "
+        "projected efficiency ~0.51-0.71 — reported as projection only, "
+        "no fast-era window recurred to measure it"
+    ),
+}
+
 # calm-gated captures from the r5_scaling.sh sessions (leg, wall, steal,
 # ndocs, session-block id).  Blocks group temporally-adjacent runs; a
 # block is a window in which host state is assumed constant (runs
@@ -176,7 +199,8 @@ def main() -> None:
         best = legs[small]["min"] / legs[big]["min"]
         med = legs[small]["median"] / legs[big]["median"]
         k = big / small
-        return {
+        suppressed = WIDE_SUPPRESSED.get((small, big, nd))
+        return ({"wide_leg_suppressed": True, "note": suppressed} if suppressed else {}) | {
             "cpus": [small, big],
             "ndocs": nd,
             "efficiency_best_over_best": round(best / k, 3),
@@ -206,7 +230,25 @@ def main() -> None:
             "hours; steal and membw probes do not predict the state. "
             "min-of-N approximates the uncontended wall; "
             "temporally-adjacent ratios are the honest efficiency "
-            "estimator (host state multiplies both legs)."
+            "estimator (host state multiplies both legs) — EXCEPT when "
+            "the two legs differ in width and the co-tenant is active: "
+            "contention is width-dependent (see "
+            "width_asymmetry_finding), so a degraded era suppresses "
+            "only the wide leg and biases N->4N ratios down."
+        ),
+        "width_asymmetry_finding": (
+            "A co-tenant invisible to /proc/stat steal inflates wide "
+            "pinned legs only: during the same hours, pin8@14M drew its "
+            "best-ever wall (851.1 s @ 0.08% steal, at the fast-era "
+            "linear projection from 10M) while pin32@10M re-drew "
+            "508.5-1095.8 s vs its fast-era 295.9 s and pin32@14M never "
+            "read below 584.2 s (projection <=414 s).  The instrumented "
+            "pin32@14M leg rules out the engine: GC pauses 27.0 s of "
+            "682.6 s (zero full GCs), heap peak 42.8 G of 48 G, no "
+            "swap, run-averaged steal 0.28%, stage profile "
+            "proportionally identical to 10M.  An 8-core leg leaves 24 "
+            "cores of physical headroom for the co-tenant; a 32-core "
+            "leg fights it for every core and DRAM channel."
         ),
         "legs_600k": legs600,
         "legs_2m": legs2m,
@@ -223,6 +265,19 @@ def main() -> None:
             {"ndocs": nd, "efficiency_adjacent_mean": p["efficiency_adjacent_mean"]}
             for nd in all_nd
             if (p := pair(2, 8, legs_by_nd[nd], nd)) and p["efficiency_adjacent_mean"]
+        ],
+        "scale_trend_8to32": [
+            {
+                "ndocs": nd,
+                "efficiency_adjacent_mean": p["efficiency_adjacent_mean"],
+                **(
+                    {"wide_leg_suppressed": True}
+                    if p.get("wide_leg_suppressed")
+                    else {}
+                ),
+            }
+            for nd in all_nd
+            if (p := pair(8, 32, legs_by_nd[nd], nd)) and p["efficiency_adjacent_mean"]
         ],
         "samples": samples,
     }
