@@ -176,6 +176,17 @@ def main() -> None:
             os.environ.get("SPARK_GRAFT_AQE_ADVISORY", "8m"),
         )
         .config("spark.ui.enabled", "false")
+        # shuffle/broadcast/cache block codec.  Default lz4; zstd trades
+        # CPU for fewer bytes through the (tmpfs = DRAM) shuffle path —
+        # the candidate lever for the membw-bound wide legs (A/B knob).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.warehouse.dir", f"{WORKDIR}/warehouse")
