@@ -395,16 +395,24 @@ def q_jaccard_pairs(spark, sf_dir):
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash + banded LSH near-dup candidates.  The token hash is
     md5-derived (engine-portable), so the full pipeline — 64 bit-votes,
-    banding, self-join, exact Hamming — has a DuckDB oracle."""
+    banding, self-join, exact Hamming — has a DuckDB oracle.
+
+    Round-6: the per-hamming counts come from per-bucket histograms
+    (``simhash_pair_hamming_hist``) summed in one tiny aggregation —
+    the same exact pair set as ``simhash_candidate_pairs(...).groupBy
+    ("hamming").count()`` (equivalence pytest-pinned + oracle-gated)
+    without materializing the ~2e8 surviving pair rows at sf1.0."""
     from web_crawler_spark.operators.text import (
-        simhash_candidate_pairs,
+        simhash_pair_hamming_hist,
         simhash_signatures,
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = simhash_signatures(d, "doc_id", "text")
-    pairs = simhash_candidate_pairs(sigs, "doc_id", max_hamming=16)
-    return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
+    hist = simhash_pair_hamming_hist(sigs, "doc_id", max_hamming=16)
+    return hist.groupBy("hamming").agg(
+        F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n_pairs")
+    )
 
 
 # ANN LSH entry parameters — shared by the Spark query, the generated

@@ -50,6 +50,40 @@ def test_simhash_identical_docs_distance_zero(spark, sim_docs):
     assert ("a1", "z1") not in pairs
 
 
+def test_simhash_hist_equals_pair_counts(spark):
+    """The round-6 histogram variant (per-bucket numpy kernel, triangle
+    salt blocks) must count EXACTLY the pair set of the pair-returning
+    exact path, per hamming value — on a corpus with identical docs
+    (hamming-0 self-bucket cliques), near-dups, empty docs (shared
+    all-zero signature => same-sig group bigger than 1), and unrelated
+    docs, across several salt fanouts (diagonal/off-diagonal coverage)."""
+    from web_crawler_spark.operators.text import simhash_pair_hamming_hist
+
+    rows = [("e%d" % i, "") for i in range(3)] + [
+        ("d%02d" % i,
+         " ".join("tok%d" % ((i * 7 + k * (1 + i % 3)) % 40) for k in range(30)))
+        for i in range(40)
+    ] + [("d%02dc" % i,
+          " ".join("tok%d" % ((i * 7 + k * (1 + i % 3)) % 40) for k in range(30)))
+         for i in range(0, 40, 5)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sigs = simhash_signatures(df, "doc_id", "text")
+    for max_h in (0, 7, 16, 64):
+        want = {
+            (r.hamming, r.n_pairs)
+            for r in simhash_candidate_pairs(sigs, "doc_id", max_hamming=max_h)
+            .groupBy("hamming").agg(F.count("*").alias("n_pairs")).collect()
+        }
+        for n_salts in (1, 3, 8):
+            got = {
+                (r.hamming, r.n_pairs)
+                for r in simhash_pair_hamming_hist(
+                    sigs, "doc_id", max_hamming=max_h, n_salts=n_salts
+                ).groupBy("hamming").agg(F.sum("n").alias("n_pairs")).collect()
+            }
+            assert got == want, (max_h, n_salts)
+
+
 def test_simhash_determinism(spark, sim_docs):
     s1 = {r.doc_id: r.sig for r in simhash_signatures(sim_docs, "doc_id", "text").collect()}
     s2 = {r.doc_id: r.sig for r in simhash_signatures(sim_docs, "doc_id", "text").collect()}

@@ -24,9 +24,20 @@ groupBy(doc) with map-side partial aggregation.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 SIG_BITS = 64
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — numpy<2.0 has no bitwise_count."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
 def tokens_col(text: F.Column) -> F.Column:
@@ -209,6 +220,9 @@ def simhash_candidate_pairs(
             F.col("band_idx") == b, _band_int(F.col("sig_int"), b, band_w)
         ).otherwise(band_bits)
     banded = banded.withColumn("band_bits", band_bits)
+    n_part = int(
+        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
     if bucket_cap is not None:
         # salted two-stage first-N: boilerplate-heavy corpora concentrate
         # into few band values, and a single-stage window would route each
@@ -218,50 +232,247 @@ def simhash_candidate_pairs(
         banded = top_n_per_bucket(
             banded, ["band_idx", "band_bits"], id_col, bucket_cap
         )
+        a = banded.select(
+            F.col(id_col).alias("id_a"), F.col("sig_int").alias("sig_a_int"),
+            "band_idx", "band_bits",
+            F.pmod(F.xxhash64(id_col), F.lit(n_salts)).cast("int").alias("salt"),
+        ).repartition(n_part, "band_idx", "band_bits", "salt")
+        b = banded.select(
+            F.col(id_col).alias("id_b"), F.col("sig_int").alias("sig_b_int"),
+            "band_idx", "band_bits",
+            F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("salt"),
+        )
+        pairs = (
+            a.join(b, ["band_idx", "band_bits", "salt"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a_int", "sig_b_int")
+            .dropDuplicates(["id_a", "id_b"])  # multiple shared bands => once
+        )
+        return pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a_int").bitwiseXOR(F.col("sig_b_int"))),
+        ).filter(
+            F.col("hamming") <= max_hamming
+        ).select("id_a", "id_b", "hamming")
+    # ---- exact path: vectorized per-bucket pair kernel (round-6) ----
+    # The banded self-join's OUTPUT is quadratic in bucket size (sf1.0
+    # profile: ~1.0e9 ordered pair rows through the join for 50k docs)
+    # while only the tiny hamming<=k tail survives — JVM row-at-a-time
+    # join output production was ~130 ns/pair, the whole query's cost.
+    # Same distribution mechanism as before (salted bucket split so no
+    # single hot band owns the pair space; deterministic salts), but the
+    # pair space is enumerated *inside* each task by a vectorized numpy
+    # kernel (SWAR popcount over uint64 xor blocks — guide §4.2), so a
+    # candidate pair costs ~1 ns and never materializes as a row unless
+    # it survives.  First-shared-band emission is a byte test on the xor
+    # (all lower band bytes nonzero), so each surviving pair is emitted
+    # exactly once with no dedup shuffle — same semantics as the join
+    # path it replaces (equivalence pinned by tests/test_operators.py).
+    id_type = dict(sigs.dtypes)[id_col]
+    # ONE explode emits the a-row (side 0, its own salt) and the n_salts
+    # replicated b-rows per banded row — a unionByName of two selects
+    # over `banded` would compute the whole signature-aggregation subtree
+    # once PER BRANCH (measured: 2 FlatMapGroupsInPandas / double the
+    # sig cost at sf1.0)
+    own_salt = F.pmod(F.xxhash64(id_col), F.lit(n_salts)).cast("int")
+    entries = F.array(
+        F.struct(F.lit(0).alias("side"), own_salt.alias("salt")),
+        *[
+            F.struct(F.lit(1).alias("side"), F.lit(s).cast("int").alias("salt"))
+            for s in range(n_salts)
+        ],
+    )
+    u = banded.select(
+        F.col(id_col).alias("_id"), "sig_int", "band_idx", "band_bits",
+        F.explode(entries).alias("_e"),
+    ).select(
+        "_id", "sig_int", "band_idx", "band_bits",
+        F.col("_e.side").alias("side"), F.col("_e.salt").alias("salt"),
+    ).repartition(n_part, "band_idx", "band_bits", "salt")
+
+    max_h = int(max_hamming)
+    n_b = int(n_bands)
+    b_w = int(band_w)
+
+    def _pair_kernel(key, pdf):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        band_idx = int(key[0])
+        a_rows = pdf[pdf["side"] == 0]
+        b_rows = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        if a_rows.empty or b_rows.empty:
+            return empty
+        ids_a = a_rows["_id"].to_numpy()
+        ids_b = b_rows["_id"].to_numpy()
+        sig_a = a_rows["sig_int"].to_numpy(np.int64).view(np.uint64)
+        sig_b = b_rows["sig_int"].to_numpy(np.int64).view(np.uint64)
+        band_mask = np.uint64((1 << b_w) - 1)
+        n_bb = len(sig_b)
+        blk = max(1, (4 << 20) // max(1, n_bb))  # ~4M pairs per block
+        out_a, out_b, out_h = [], [], []
+        for lo in range(0, len(sig_a), blk):
+            xa = sig_a[lo : lo + blk]
+            x = xa[:, None] ^ sig_b[None, :]
+            ham = _popcount64(x)
+            m = ham <= np.uint64(max_h)
+            # first-shared-band emission: every lower band byte of the
+            # xor must be nonzero (bands are laid out MSB-first)
+            for j in range(band_idx):
+                shift = np.uint64(SIG_BITS - (j + 1) * b_w)
+                m &= ((x >> shift) & band_mask) != 0
+            ii, jj = np.nonzero(m)
+            if len(ii) == 0:
+                continue
+            sa = ids_a[lo + ii]
+            sb = ids_b[jj]
+            keep = sa < sb  # ordering + self/dup-orientation dedup
+            if not keep.any():
+                continue
+            out_a.append(sa[keep])
+            out_b.append(sb[keep])
+            out_h.append(ham[ii, jj][keep].astype(np.int32))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    return u.groupBy("band_idx", "band_bits", "salt").applyInPandas(
+        _pair_kernel,
+        schema=f"id_a {id_type}, id_b {id_type}, hamming int",
+    )
+
+
+def simhash_pair_hamming_hist(
+    sigs: DataFrame, id_col: str, max_hamming: int = 8,
+    n_bands: int = 8, n_salts: int = 8,
+) -> DataFrame:
+    """Per-bucket (hamming, n) histograms of the EXACT candidate-pair set
+    — sum over ``hamming`` to get ``simhash_candidate_pairs(...)
+    .groupBy("hamming").count()`` without materializing the pairs.
+
+    Same pair semantics as the exact path of ``simhash_candidate_pairs``
+    (>=1 shared band, first-band emission, hamming <= max_hamming,
+    unordered pairs once; count equality is pytest-pinned against the
+    pair path and oracle-gated).  Distribution uses triangle salt
+    BLOCKS: each row (salt s = pmod(xxhash64(id), S)) is replicated to
+    the S blocks (min(s,t), max(s,t)); an off-diagonal block holds each
+    cross-salt pair exactly once (no order test at all), a diagonal
+    block (s,s) holds one salt's rows and dedups by the (xxhash64(id),
+    id) strict total order — any strict total order counts an unordered
+    pair exactly once.  vs the a/b salting of the pair path this halves
+    the enumerated pair space (c^2/2 instead of c^2 per hot bucket) and
+    replicates rows S times instead of S+1, while still splitting a hot
+    bucket's pair space over S(S+1)/2 independent tasks.
+    """
+    band_w = SIG_BITS // n_bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig_int"),
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band_idx"),
+    )
+    band_bits = F.lit(0).cast("long")
+    for b in range(n_bands):
+        band_bits = F.when(
+            F.col("band_idx") == b, _band_int(F.col("sig_int"), b, band_w)
+        ).otherwise(band_bits)
+    banded = banded.withColumn("band_bits", band_bits).withColumn(
+        "idh", F.xxhash64(id_col)
+    )
     n_part = int(
         sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig_int").alias("sig_a_int"),
-        "band_idx", "band_bits",
-        F.pmod(F.xxhash64(id_col), F.lit(n_salts)).cast("int").alias("salt"),
-    ).repartition(n_part, "band_idx", "band_bits", "salt")
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig_int").alias("sig_b_int"),
-        "band_idx", "band_bits",
-        F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("salt"),
-    )
-    pairs = (
-        a.join(b, ["band_idx", "band_bits", "salt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
-    if bucket_cap is None:
-        # emit each pair only at its FIRST shared band: for band i, all
-        # lower bands must differ.  O(n_bands^2) shift/mask comparisons,
-        # fully codegen'd; replaces a dropDuplicates shuffle of the
-        # (quadratic) pair space with a row-local filter.
-        first_band = F.lit(True)
-        for i in range(1, n_bands):
-            lower_differ = F.lit(True)
-            for j in range(i):
-                lower_differ = lower_differ & (
-                    _band_int(F.col("sig_a_int"), j, band_w)
-                    != _band_int(F.col("sig_b_int"), j, band_w)
-                )
-            first_band = F.when(F.col("band_idx") == i, lower_differ).otherwise(
-                first_band
+    # single-subtree explode (see simhash_candidate_pairs): S block
+    # entries per banded row — side 0 = row-salt side (s < t), side 1 =
+    # col-salt side (s > t), side 2 = diagonal (t == s)
+    s_col = F.pmod(F.col("idh"), F.lit(n_salts)).cast("int")
+    entries = F.array(
+        *[
+            F.struct(
+                F.when(s_col == t, F.lit(2))
+                .when(s_col < t, F.lit(0))
+                .otherwise(F.lit(1))
+                .alias("side"),
+                F.least(s_col, F.lit(t)).cast("int").alias("bs"),
+                F.greatest(s_col, F.lit(t)).cast("int").alias("bt"),
             )
-        pairs = pairs.filter(first_band).select("id_a", "id_b", "sig_a_int", "sig_b_int")
-    else:
-        pairs = pairs.select(
-            "id_a", "id_b", "sig_a_int", "sig_b_int"
-        ).dropDuplicates(["id_a", "id_b"])  # multiple shared bands => once
-    return pairs.withColumn(
-        "hamming",
-        F.bit_count(F.col("sig_a_int").bitwiseXOR(F.col("sig_b_int"))),
-    ).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+            for t in range(n_salts)
+        ]
+    )
+    u = banded.select(
+        F.col(id_col).alias("_id"), "sig_int", "idh", "band_idx", "band_bits",
+        F.explode(entries).alias("_e"),
+    ).select(
+        "_id", "sig_int", "idh", "band_idx", "band_bits",
+        F.col("_e.side").alias("side"),
+        F.col("_e.bs").alias("bs"), F.col("_e.bt").alias("bt"),
+    ).repartition(n_part, "band_idx", "band_bits", "bs", "bt")
+
+    max_h = int(max_hamming)
+    b_w = int(band_w)
+
+    def _hist_kernel(key, pdf):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        band_idx = int(key[0])
+        diagonal = int(key[2]) == int(key[3])
+        empty = pd.DataFrame({"hamming": [], "n": []})
+        if diagonal:
+            a_rows = b_rows = pdf
+        else:
+            a_rows = pdf[pdf["side"] == 0]
+            b_rows = pdf[pdf["side"] == 1]
+            if a_rows.empty or b_rows.empty:
+                return empty
+        ids_a = a_rows["_id"].to_numpy()
+        ids_b = b_rows["_id"].to_numpy()
+        ha = a_rows["idh"].to_numpy(np.int64)
+        hb = b_rows["idh"].to_numpy(np.int64)
+        sig_a = a_rows["sig_int"].to_numpy(np.int64).view(np.uint64)
+        sig_b = b_rows["sig_int"].to_numpy(np.int64).view(np.uint64)
+        band_mask = np.uint64((1 << b_w) - 1)
+        n_bb = len(sig_b)
+        blk = max(1, (4 << 20) // max(1, n_bb))  # ~4M pairs per block
+        hist = np.zeros(max_h + 1, dtype=np.int64)
+        for lo in range(0, len(sig_a), blk):
+            x = sig_a[lo : lo + blk, None] ^ sig_b[None, :]
+            ham = _popcount64(x)
+            m = ham <= np.uint64(max_h)
+            # first-shared-band emission: every lower band byte of the
+            # xor must be nonzero (bands are laid out MSB-first)
+            for j in range(band_idx):
+                shift = np.uint64(SIG_BITS - (j + 1) * b_w)
+                m &= ((x >> shift) & band_mask) != 0
+            if diagonal:
+                # exactly-once emission within one salt: strict total
+                # order by (idh, id) — integer compare per pair, Python
+                # string compare only on hash ties (collisions/self)
+                ha_blk = ha[lo : lo + blk, None]
+                ties = m & (ha_blk == hb[None, :])
+                m &= ha_blk < hb[None, :]
+                if ties.any():
+                    ti, tj = np.nonzero(ties)
+                    tkeep = ids_a[lo + ti] < ids_b[tj]
+                    if tkeep.any():
+                        hist += np.bincount(
+                            ham[ti[tkeep], tj[tkeep]].astype(np.int64),
+                            minlength=max_h + 1,
+                        )
+            if m.any():
+                hist += np.bincount(
+                    ham[m].astype(np.int64), minlength=max_h + 1
+                )
+        nz = np.nonzero(hist)[0]
+        return pd.DataFrame({"hamming": nz.astype(np.int32), "n": hist[nz]})
+
+    return u.groupBy("band_idx", "band_bits", "bs", "bt").applyInPandas(
+        _hist_kernel, schema="hamming int, n long"
+    )
 
 
 def jaccard_pairs(
