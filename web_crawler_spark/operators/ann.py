@@ -38,7 +38,53 @@ from .skew import top_n_per_bucket
 QUANT = 1_000_000
 
 
-def cosine_col(a: F.Column, b: F.Column) -> F.Column:
+def _cosine_batch(va, vb):
+    """Vectorized cosine over two pandas Series of equal-length float64
+    arrays, reproducing the HOF fold BIT-EXACTLY: each of dot/na/nb is
+    accumulated left-to-right from 0.0 one dimension at a time (the
+    per-dimension op is vectorized across the batch, the fold order per
+    row is unchanged), so every intermediate IEEE-754 operation matches
+    ``aggregate(zip_with(...))`` and the rounded result the DuckDB
+    oracle checks is identical."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    if len(va) == 0:
+        return pd.Series([], dtype="float64")
+    # transpose to dimension-major so each per-dimension slice is
+    # contiguous (the strided (rows, dim) column walk is ~3x slower)
+    a = np.stack(va.to_numpy()).T.copy()
+    b = np.stack(vb.to_numpy()).T.copy()
+    n_rows = a.shape[1]
+    dot = np.zeros(n_rows)
+    na = np.zeros(n_rows)
+    nb = np.zeros(n_rows)
+    for i in range(a.shape[0]):
+        ai, bi = a[i], b[i]
+        dot = dot + ai * bi
+        na = na + ai * ai
+        nb = nb + bi * bi
+    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+
+def cosine_col(a: F.Column, b: F.Column, dim: int | None = None) -> F.Column:
+    """Cosine similarity of two array<double> columns.
+
+    With ``dim`` set (fixed-dimension dense embeddings — all tables
+    here) the computation runs as an Arrow-batched pandas UDF whose
+    per-row fold order is bit-identical to the JVM higher-order-function
+    form (see ``_cosine_batch``); the HOF form (``aggregate`` over
+    ``zip_with``) evaluates an interpreted lambda per element — HOFs
+    don't codegen — and was ~70% of the whole embedding_near_dup_lsh
+    query at sf1.0 (8s of 11s).  (A 64-term unrolled ``get`` expression
+    chain was tried first: it exceeds codegen limits and interprets
+    even slower than the HOF.)  Without ``dim`` (ragged or unknown
+    arrays) the original HOF form is used.
+    """
+    if dim is not None:
+        from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+        cos = pandas_udf(_cosine_batch, "double")
+        return cos(a, b)
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
@@ -46,14 +92,14 @@ def cosine_col(a: F.Column, b: F.Column) -> F.Column:
 
 
 def brute_force_topk(
-    vectors: DataFrame, queries: DataFrame, k: int = 5
+    vectors: DataFrame, queries: DataFrame, k: int = 5, dim: int | None = None
 ) -> DataFrame:
     """Exact top-k: vectors(vec_id, v) x queries(query_id, qv) broadcast."""
     pairs = vectors.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        F.round(cosine_col(F.col("qv"), F.col("v"), dim), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -201,7 +247,17 @@ def near_dup_candidates_lsh(
         )
         pairs = pairs.filter(~lower_match).select("id_a", "id_b")
     else:
-        pairs = pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+        # pin the dedup exchange width: the deduped id-pair set is a few
+        # bytes/row, so AQE would coalesce it (and everything above it —
+        # the vector re-attach joins and the Arrow cosine stage) into a
+        # handful of tasks; a pinned hash repartition on the dedup keys
+        # is reused by the aggregate (one shuffle, no AQE shrink), so
+        # the expensive downstream per-pair work keeps full parallelism
+        pairs = (
+            pairs.select("id_a", "id_b")
+            .repartition(n_part, "id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     va = vectors.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = vectors.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return pairs.join(va, "id_a").join(vb, "id_b")
@@ -252,7 +308,7 @@ def lsh_topk(
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        F.round(cosine_col(F.col("qv"), F.col("v"), dim), 6).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
