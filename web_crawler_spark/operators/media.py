@@ -199,7 +199,7 @@ def decode_ref_real(media_ref: str, kind: str) -> tuple[int, float]:
 
 
 def extract_media_features(
-    documents: DataFrame, partitions: int = 32, decode: str = "stub"
+    documents: DataFrame, partitions: int | None = None, decode: str = "stub"
 ) -> DataFrame:
     """media spans -> per-ref features via Arrow-batched mapInPandas.
 
@@ -209,6 +209,13 @@ def extract_media_features(
     whole Arrow batches (vectorized), never single rows.  ``decode``
     picks the per-item decoder: "stub" (hash-derived) or "real" (valid
     PPM/WAV bytes, actually parsed) — the plan is identical.
+
+    ``partitions=None`` (default, round-6) keys the repartition without
+    pinning a count: the exchange uses ``spark.sql.shuffle.partitions``
+    and AQE's size-based coalescing — a 345-ref demo corpus collapses to
+    one Python task instead of 32 near-empty ones (each with worker
+    spawn + Arrow setup), a 100 TB corpus keeps full width.  A pinned
+    count remains available for tests.
     """
     if decode not in ("stub", "real"):
         raise ValueError(f"decode must be 'stub' or 'real', got {decode!r}")
@@ -222,8 +229,11 @@ def extract_media_features(
             F.col("span.media_ref").alias("media_ref"),
             F.col("span.kind").alias("kind"),
         )
-        .repartition(partitions, F.xxhash64("media_ref"))
     )
+    if partitions is None:
+        media = media.repartition(F.xxhash64("media_ref"))
+    else:
+        media = media.repartition(partitions, F.xxhash64("media_ref"))
     size_col = "stub_bytes" if decode == "stub" else "payload_bytes"
 
     def featurize(batches):

@@ -492,13 +492,22 @@ def jaccard_pairs(
     well-defined and engine-portable: Jaccard over the capped shingle
     space.  Standard practice in MinHash/shingle dedup pipelines; leave
     None for the uncapped exact join.
+
+    ``id_col`` must identify ONE row (one document) — the per-document
+    shingle-set dedup is ``array_distinct`` on the row's own shingle
+    array, which is shuffle-free; the previous global ``.distinct()``
+    over the exploded (id, shingle) rows shuffled the entire shingle
+    occurrence stream (sf1.0: 2.6M short-string rows, the single
+    heaviest exchange of the query) to deduplicate what each row can
+    deduplicate locally.
     """
     from .skew import spread_if_narrow  # noqa: PLC0415
 
-    sh = (
-        spread_if_narrow(df)
-        .select(id_col, F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("sh"))
-        .distinct()
+    sh = spread_if_narrow(df).select(
+        id_col,
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col(F.col(text_col)), n))
+        ).alias("sh"),
     )
     if max_df is not None:
         keep = (
