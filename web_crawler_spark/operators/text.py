@@ -412,67 +412,127 @@ def simhash_pair_hamming_hist(
         F.col("_e.side").alias("side"),
         F.col("_e.bs").alias("bs"), F.col("_e.bt").alias("bt"),
     ).repartition(n_part, "band_idx", "band_bits", "bs", "bt")
+    # groups made contiguous within each shuffle partition: the kernel
+    # runs as ONE mapInPandas pass per partition (numpy slice per group)
+    # instead of one applyInPandas call per bucket-block — the per-group
+    # pandas/Arrow machinery across ~7e4 tiny groups was ~3s of the
+    # sf1.0 query.  A group never spans partitions (it IS the shuffle
+    # key); batches within a partition are stitched by a carry buffer.
+    u = u.sortWithinPartitions("band_idx", "band_bits", "bs", "bt")
 
     max_h = int(max_hamming)
     b_w = int(band_w)
+    _COLS = ("_id", "sig_int", "idh", "band_idx", "bs", "bt", "side",
+             "band_bits")
 
-    def _hist_kernel(key, pdf):
+    def _hist_stream(batches):
         import pandas as pd  # noqa: PLC0415 — executor-side import
 
-        band_idx = int(key[0])
-        diagonal = int(key[2]) == int(key[3])
-        empty = pd.DataFrame({"hamming": [], "n": []})
-        if diagonal:
-            a_rows = b_rows = pdf
-        else:
-            a_rows = pdf[pdf["side"] == 0]
-            b_rows = pdf[pdf["side"] == 1]
-            if a_rows.empty or b_rows.empty:
-                return empty
-        ids_a = a_rows["_id"].to_numpy()
-        ids_b = b_rows["_id"].to_numpy()
-        ha = a_rows["idh"].to_numpy(np.int64)
-        hb = b_rows["idh"].to_numpy(np.int64)
-        sig_a = a_rows["sig_int"].to_numpy(np.int64).view(np.uint64)
-        sig_b = b_rows["sig_int"].to_numpy(np.int64).view(np.uint64)
         band_mask = np.uint64((1 << b_w) - 1)
-        n_bb = len(sig_b)
-        blk = max(1, (4 << 20) // max(1, n_bb))  # ~4M pairs per block
         hist = np.zeros(max_h + 1, dtype=np.int64)
-        for lo in range(0, len(sig_a), blk):
-            x = sig_a[lo : lo + blk, None] ^ sig_b[None, :]
-            ham = _popcount64(x)
-            m = ham <= np.uint64(max_h)
-            # first-shared-band emission: every lower band byte of the
-            # xor must be nonzero (bands are laid out MSB-first)
-            for j in range(band_idx):
-                shift = np.uint64(SIG_BITS - (j + 1) * b_w)
-                m &= ((x >> shift) & band_mask) != 0
-            if diagonal:
-                # exactly-once emission within one salt: strict total
-                # order by (idh, id) — integer compare per pair, Python
-                # string compare only on hash ties (collisions/self)
-                ha_blk = ha[lo : lo + blk, None]
-                ties = m & (ha_blk == hb[None, :])
-                m &= ha_blk < hb[None, :]
-                if ties.any():
-                    ti, tj = np.nonzero(ties)
-                    tkeep = ids_a[lo + ti] < ids_b[tj]
-                    if tkeep.any():
-                        hist += np.bincount(
-                            ham[ti[tkeep], tj[tkeep]].astype(np.int64),
-                            minlength=max_h + 1,
-                        )
-            if m.any():
-                hist += np.bincount(
-                    ham[m].astype(np.int64), minlength=max_h + 1
-                )
-        nz = np.nonzero(hist)[0]
-        return pd.DataFrame({"hamming": nz.astype(np.int32), "n": hist[nz]})
 
-    return u.groupBy("band_idx", "band_bits", "bs", "bt").applyInPandas(
-        _hist_kernel, schema="hamming int, n long"
-    )
+        def _group(ids, sig_u, idh, side, band_idx, diagonal):
+            if diagonal:
+                ids_a = ids_b = ids
+                ha = hb = idh
+                sig_a = sig_b = sig_u
+            else:
+                sel = side == 0
+                ids_a, ids_b = ids[sel], ids[~sel]
+                ha, hb = idh[sel], idh[~sel]
+                sig_a, sig_b = sig_u[sel], sig_u[~sel]
+                if len(sig_a) == 0 or len(sig_b) == 0:
+                    return
+            n_bb = len(sig_b)
+            blk = max(1, (4 << 20) // max(1, n_bb))  # ~4M pairs per block
+            for lo in range(0, len(sig_a), blk):
+                x = sig_a[lo : lo + blk, None] ^ sig_b[None, :]
+                ham = _popcount64(x)
+                m = ham <= np.uint64(max_h)
+                # first-shared-band emission: every lower band byte of
+                # the xor must be nonzero (bands are laid out MSB-first)
+                for j in range(band_idx):
+                    shift = np.uint64(SIG_BITS - (j + 1) * b_w)
+                    m &= ((x >> shift) & band_mask) != 0
+                if diagonal:
+                    # exactly-once emission within one salt: strict
+                    # total order by (idh, id) — integer compare per
+                    # pair, Python string compare only on hash ties
+                    # (collisions/self-pairs)
+                    ha_blk = ha[lo : lo + blk, None]
+                    ties = m & (ha_blk == hb[None, :])
+                    m &= ha_blk < hb[None, :]
+                    if ties.any():
+                        ti, tj = np.nonzero(ties)
+                        tkeep = ids_a[lo + ti] < ids_b[tj]
+                        if tkeep.any():
+                            hist[: max_h + 1] += np.bincount(
+                                ham[ti[tkeep], tj[tkeep]].astype(np.int64),
+                                minlength=max_h + 1,
+                            )
+                if m.any():
+                    hist[: max_h + 1] += np.bincount(
+                        ham[m].astype(np.int64), minlength=max_h + 1
+                    )
+
+        def _run_groups(cols, upto):
+            k1, k2 = cols["band_idx"], cols["band_bits"]
+            k3, k4 = cols["bs"], cols["bt"]
+            change = (
+                (k1[1:upto] != k1[: upto - 1])
+                | (k2[1:upto] != k2[: upto - 1])
+                | (k3[1:upto] != k3[: upto - 1])
+                | (k4[1:upto] != k4[: upto - 1])
+            )
+            starts = np.concatenate(
+                ([0], np.nonzero(change)[0] + 1, [upto])
+            )
+            for gi in range(len(starts) - 1):
+                s, e = int(starts[gi]), int(starts[gi + 1])
+                _group(
+                    cols["_id"][s:e],
+                    cols["sig_int"][s:e],
+                    cols["idh"][s:e],
+                    cols["side"][s:e],
+                    int(k1[s]),
+                    int(k3[s]) == int(k4[s]),
+                )
+            return int(starts[-2])  # start of the last (possibly open) group
+
+        carry = None
+        for pdf in batches:
+            cols = {c: pdf[c].to_numpy() for c in _COLS}
+            cols["sig_int"] = cols["sig_int"].astype(np.int64).view(np.uint64)
+            cols["idh"] = cols["idh"].astype(np.int64)
+            if carry is not None:
+                cols = {
+                    c: np.concatenate([carry[c], cols[c]]) for c in _COLS
+                }
+            n = len(cols["sig_int"])
+            if n == 0:
+                continue
+            k1, k2 = cols["band_idx"], cols["band_bits"]
+            k3, k4 = cols["bs"], cols["bt"]
+            # the trailing group may continue into the next batch: find
+            # where it starts and hold those rows back
+            change = (
+                (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+                | (k3[1:] != k3[:-1]) | (k4[1:] != k4[:-1])
+            )
+            nz = np.nonzero(change)[0]
+            last_start = int(nz[-1] + 1) if len(nz) else 0
+            if last_start > 0:
+                _run_groups(cols, last_start)
+            carry = {c: cols[c][last_start:] for c in _COLS}
+        if carry is not None and len(carry["sig_int"]):
+            _run_groups(carry, len(carry["sig_int"]))
+        nz = np.nonzero(hist)[0]
+        if len(nz):
+            yield pd.DataFrame(
+                {"hamming": nz.astype(np.int32), "n": hist[nz]}
+            )
+
+    return u.mapInPandas(_hist_stream, schema="hamming int, n long")
 
 
 def jaccard_pairs(
