@@ -1107,7 +1107,7 @@ class CrawlEngine:
             _tm["resolve"] = time.time() - t0 - _tm["plan"]
             _t_prev = time.time()
         f = F.col("is_fresh")
-        part_rows = (
+        part_agg = (
             cand.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
                 F.coalesce(F.sum("n_raw"), F.lit(0)).alias("n_raw"),
@@ -1128,16 +1128,7 @@ class CrawlEngine:
                     ).otherwise(0)
                 ).alias("children_pending"),  # leaf rule F10 complement
             )
-            .collect()
         )
-        if _tm is not None:
-            _tm["metrics_job"] = time.time() - _t_prev
-            _t_prev = time.time()
-        raw_total = sum(int(r["n_raw"]) for r in part_rows)
-        candidates = sum(int(r["candidates"]) for r in part_rows)
-        dns_dropped = sum(int(r["dns_dropped"]) for r in part_rows)
-        n_children = sum(int(r["children"]) for r in part_rows)
-        n_children_pending = sum(int(r["children_pending"]) for r in part_rows)
 
         # ---- commit the snapshot (S3): ONE delta write, then marker ----
         # inserts + edges + updates ride a single union job partitioned by
@@ -1145,9 +1136,20 @@ class CrawlEngine:
         # but three Catalyst analyses + three submissions on the serial
         # driver path — the per-wave floor that caps pre-saturation
         # scaling).  All branches read the cached `cand`/`outcomes`
-        # DataFrames filled above.  Bloom-path state maintenance runs
-        # concurrently with the write (both read only materialized data);
-        # the next frontier is folded from the written files and its
+        # DataFrames the metrics job fills.  Round-6: the coalesced write
+        # job is submitted CONCURRENTLY with the metrics job instead of
+        # after it — FIFO gives the earlier (full-width) metrics job the
+        # cores, so the cache is still filled at full parallelism, and the
+        # write's few encode tasks back-fill the metrics tail instead of
+        # running on an otherwise idle cluster afterwards (~1-2 s/wave).
+        # The submission-order race is closed by waiting until the
+        # scheduler has REGISTERED the metrics job before submitting the
+        # write (a write-first registration would pull the whole wave
+        # pipeline through its 8 coalesce tasks — the round-5 failure
+        # mode this ordering exists to prevent).  Bloom-path state
+        # maintenance runs after the metrics resolve (its delta reads the
+        # then-cached rows), concurrent with the write tail; the next
+        # frontier is folded from the written files and its
         # materialization job is submitted but NOT awaited — it overlaps
         # the commit tail here and the caller's next-wave planning.
         from concurrent.futures import ThreadPoolExecutor
@@ -1165,8 +1167,29 @@ class CrawlEngine:
             if _tm is not None:
                 _tm["union_build"] = time.time() - _t_prev
                 _t_prev = time.time()
+            st = self.spark.sparkContext.statusTracker()
+            ids0 = set(st.getActiveJobsIds())
+            metrics_fut = pool.submit(part_agg.collect)
+            deadline = time.time() + 5.0
+            while (
+                not metrics_fut.done()
+                and not (set(st.getActiveJobsIds()) - ids0)
+                and time.time() < deadline
+            ):
+                time.sleep(0.002)
             write_fut = pool.submit(
                 self.store.write_delta_union, delta, crawl_id, wave
+            )
+            part_rows = metrics_fut.result()
+            if _tm is not None:
+                _tm["metrics_job"] = time.time() - _t_prev
+                _t_prev = time.time()
+            raw_total = sum(int(r["n_raw"]) for r in part_rows)
+            candidates = sum(int(r["candidates"]) for r in part_rows)
+            dns_dropped = sum(int(r["dns_dropped"]) for r in part_rows)
+            n_children = sum(int(r["children"]) for r in part_rows)
+            n_children_pending = sum(
+                int(r["children_pending"]) for r in part_rows
             )
             if bloom is not None:
                 # O(wave) incremental maintenance: OR this wave's insert
