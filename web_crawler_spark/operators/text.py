@@ -555,28 +555,42 @@ def jaccard_pairs(
 
     ``id_col`` must identify ONE row (one document) — the per-document
     shingle-set dedup is ``array_distinct`` on the row's own shingle
-    array, which is shuffle-free; the previous global ``.distinct()``
-    over the exploded (id, shingle) rows shuffled the entire shingle
-    occurrence stream (sf1.0: 2.6M short-string rows, the single
-    heaviest exchange of the query) to deduplicate what each row can
-    deduplicate locally.
+    array (row-local), replacing the previous global ``.distinct()``
+    aggregation over the exploded (id, shingle) rows.  The exploded
+    frame is then hash-repartitioned ONCE by shingle: that single
+    pinned exchange is reused by every consumer (the DF-cap aggregation
+    and both self-join sides run in place on the sh-partitioned data
+    with no further exchange; the old shape re-exchanged by sh for the
+    cap and for the join on top of the distinct's (id, sh) exchange).
     """
     from .skew import spread_if_narrow  # noqa: PLC0415
 
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
     sh = spread_if_narrow(df).select(
         id_col,
         F.explode(
             F.array_distinct(shingles_col(tokens_col(F.col(text_col)), n))
         ).alias("sh"),
-    )
+    ).repartition(n_part, "sh")
     if max_df is not None:
-        keep = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("_df"))
+        # document frequency as a window over the sh-partitioned frame:
+        # the cap reuses the ONE exchange above instead of growing its
+        # own aggregate+join branch (which column pruning made a second
+        # full scan+explode+exchange of the occurrence stream), and the
+        # self-join below inherits both the partitioning and the
+        # window's sort order — no further exchange or sort on sh.
+        # Hot-shingle safety: a partition holds at most the sum of raw
+        # dfs hashing to it (rows, not pairs) — the quadratic risk this
+        # cap exists for arises only after the join, on capped rows.
+        sh = (
+            sh.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            )
             .filter(F.col("_df") <= max_df)
-            .select("sh")
+            .drop("_df")
         )
-        sh = sh.join(keep, "sh")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
