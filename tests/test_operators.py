@@ -178,6 +178,46 @@ def test_ann_lsh_recall(spark):
             assert abs(r.cosine - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9
 
 
+def test_near_dup_kernel_equals_join_path(spark):
+    """The per-bucket scored-pair kernel must produce EXACTLY the pair
+    set of the capped join path with bit-identical raw cosines — on a
+    clustered corpus (deliberate near-dups so buckets overflow a tiny
+    cap and pairs co-occur in several tables, exercising both the cap
+    and the first-surviving-table dedup)."""
+    import random
+
+    from web_crawler_spark.operators.ann import (
+        cosine_col,
+        near_dup_candidates_lsh,
+        near_dup_scored_pairs_kernel,
+    )
+
+    rng = random.Random(99)
+    centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    rows = [
+        (i, [c + rng.uniform(-0.05, 0.05) for c in centers[i % 4]])
+        for i in range(120)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    kw = {"dim": 16, "n_planes": 3, "n_tables": 4, "seed": 5}
+    for cap in (5, 50):
+        old = near_dup_candidates_lsh(vecs, bucket_cap=cap, **kw)
+        want = {
+            (r.id_a, r.id_b): r.c
+            for r in old.select(
+                "id_a", "id_b",
+                cosine_col(F.col("va"), F.col("vb"), 16).alias("c"),
+            ).collect()
+        }
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in near_dup_scored_pairs_kernel(
+                vecs, bucket_cap=cap, **kw
+            ).collect()
+        }
+        assert got == want, (cap, len(got), len(want))  # exact incl. doubles
+
+
 def test_cosine_pandas_matches_hof_bitexact(spark):
     """The Arrow-batched cosine (dim set) must reproduce the JVM HOF
     fold bit-for-bit — compared UNROUNDED, on adversarial vectors
