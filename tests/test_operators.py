@@ -178,6 +178,39 @@ def test_ann_lsh_recall(spark):
             assert abs(r.cosine - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9
 
 
+def test_lsh_signatures_numpy_matches_hof(spark):
+    """The Arrow-batched integer-matmul signature path must reproduce
+    the JVM HOF fold bit-for-bit (exact int64 arithmetic both ways)."""
+    import random
+
+    from web_crawler_spark.operators.ann import (
+        _banded_signatures,
+        hyperplanes,
+        quantize_col,
+        signature_col,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(24)]) for i in range(300)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    planes = hyperplanes(24, 4, 5, seed=3)
+    hof = vecs.withColumn("_qv", quantize_col(F.col("v"))).select(
+        "vec_id",
+        F.array(
+            *[signature_col(F.col("_qv"), planes[t]) for t in range(5)]
+        ).alias("sig_arr"),
+    )
+    want = {r.vec_id: list(r.sig_arr) for r in hof.collect()}
+    got = {
+        r.vec_id: list(r.sig_arr)
+        for r in _banded_signatures(vecs, planes, 5)
+        .select("vec_id", "sig_arr").dropDuplicates(["vec_id"]).collect()
+    }
+    assert got == want
+
+
 def test_near_dup_kernel_equals_join_path(spark):
     """The per-bucket scored-pair kernel must produce EXACTLY the pair
     set of the capped join path with bit-identical raw cosines — on a

@@ -135,6 +135,38 @@ def signature_col(qv: F.Column, planes: np.ndarray) -> F.Column:
     return F.concat(*bits)
 
 
+def _sig_arr_batch_fn(planes: np.ndarray):
+    """Build a pandas-UDF body computing every table's signature string
+    from the QUANTIZED int64 vectors in one numpy pass.  All arithmetic
+    is int64 (sums of ±q_i) — exact and order-free, so the bits are
+    provably identical to the JVM ``signature_col`` fold (pinned by
+    tests); the interpreted per-element HOF lambdas (n_tables x
+    n_planes folds per vector) were most of the banding stage's cost.
+    """
+    flat = planes.reshape(-1, planes.shape[2]).T.astype(np.int64)
+    n_tables, n_planes = planes.shape[0], planes.shape[1]
+
+    def _sig_arr(qv):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        if len(qv) == 0:
+            return pd.Series([], dtype="object")
+        q = np.stack(qv.to_numpy()).astype(np.int64)
+        bits = (q @ flat) >= 0  # (rows, n_tables*n_planes), exact int64
+        chars = np.where(bits, "1", "0")
+        out = []
+        for r in chars:
+            out.append(
+                [
+                    "".join(r[t * n_planes : (t + 1) * n_planes])
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return _sig_arr
+
+
 def _banded_signatures(
     vectors: DataFrame, planes: np.ndarray, n_tables: int,
     id_col: str = "vec_id", vec_col: str = "v", spread: bool = True,
@@ -154,14 +186,22 @@ def _banded_signatures(
     row so a self-join can re-check lower tables without another join.
     """
     from .skew import spread_if_narrow  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     base = vectors if not spread else spread_if_narrow(vectors)
+    # quantization stays a JVM expression (its round() half-up is the
+    # oracle-pinned step); the per-table sign bits over the resulting
+    # int64 arrays are computed in one Arrow-batched numpy matmul —
+    # exact integer arithmetic, bit-identical to the JVM HOF fold it
+    # replaces (which interpreted n_tables x n_planes lambda folds per
+    # vector — most of the banding stage's cost)
+    sig_udf = pandas_udf(
+        _sig_arr_batch_fn(planes), "array<string>"
+    )
     base = base.withColumn("_qv", quantize_col(F.col(vec_col))).select(
         id_col,
         vec_col,
-        F.array(
-            *[signature_col(F.col("_qv"), planes[t]) for t in range(n_tables)]
-        ).alias("sig_arr"),
+        sig_udf(F.col("_qv")).alias("sig_arr"),
     )
     # posexplode_OUTER: sig_arr always has exactly n_tables elements, but
     # with a plain posexplode the optimizer (InferFiltersFromGenerate)
