@@ -33,6 +33,37 @@ def sim_docs(spark):
     return spark.createDataFrame(rows, "doc_id string, text string")
 
 
+def test_simhash_signatures_kernel_matches_jvm(spark):
+    """The Arrow signature kernel must reproduce the JVM explode/md5/
+    64-sum-aggregate path bit-for-bit — including Java tokenization
+    edge cases the kernel re-implements in Python: trim strips ASCII
+    spaces ONLY, Java ``\\s`` excludes Unicode whitespace (NBSP), and
+    Java split keeps leading/trailing empty-string tokens."""
+    texts = [
+        "spark window merge table", "", "   ", None, "  padded  ",
+        "a\tb", "a\t", "\ta", "\t\t", "a\xa0b", "x\x0by\fz\rw",
+        "single", "dup dup dup", "one  two   three", "\rlead",
+        "trail\n", "same doc here", "same doc here",
+        " ".join("tok%d" % (i % 7) for i in range(500)),
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    kern = {
+        r.doc_id: (r.sig, r.sig_int, str(r.bands))
+        for r in simhash_signatures(
+            df, "doc_id", "text", use_kernel=True
+        ).collect()
+    }
+    jvm = {
+        r.doc_id: (r.sig, r.sig_int, str(r.bands))
+        for r in simhash_signatures(
+            df, "doc_id", "text", use_kernel=False
+        ).collect()
+    }
+    assert kern == jvm
+
+
 def test_simhash_identical_docs_distance_zero(spark, sim_docs):
     sigs = simhash_signatures(sim_docs, "doc_id", "text")
     by_id = {r.doc_id: r.sig for r in sigs.collect()}

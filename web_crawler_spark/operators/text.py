@@ -56,8 +56,99 @@ def shingles_col(words: F.Column, n: int = 3) -> F.Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
+def _tok_votes(tok: str) -> np.ndarray:
+    """±1 vote vector (64 x int8) for one token — EXACTLY the JVM rule:
+    bit i = (nibble i//4 of the md5 hex digest) >> (i%4) & 1."""
+    import hashlib  # noqa: PLC0415 — executor-side import
+
+    h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+    nib = np.array([int(c, 16) for c in h[:16]], dtype=np.int8)
+    bits = (np.repeat(nib, 4) >> np.tile(np.arange(4, dtype=np.int8), 16)) & 1
+    return (2 * bits - 1).astype(np.int8)
+
+
+def _sig_kernel_fn(id_col: str, text_col: str):
+    """mapInPandas body computing (id, sig, sig_int) per document.
+
+    Bit-identical to the JVM explode/md5/64-sum-aggregate path (pinned
+    by ``test_simhash_signatures_kernel_matches_jvm``):
+
+    * tokenization replicates Spark's ``split(trim(text), '\\s+')``
+      exactly — ``trim`` strips ASCII spaces ONLY, and the split
+      pattern is Java's ``\\s`` = ``[ \\t\\n\\x0b\\f\\r]`` (NOT
+      Python's Unicode-aware ``\\s``), keeping Java's leading/trailing
+      empty-string tokens (limit -1 semantics);
+    * votes are exact int64 sums of ±1 — order-free, so the signature
+      bits equal the JVM aggregate's.
+
+    A signature depends only on the row's own text, so this path has
+    NO shuffle at all (the JVM path exchanged one 64-column partial
+    aggregate per doc); per-batch token→vote cache makes the md5 cost
+    one hash per DISTINCT token per batch.
+    """
+    import re  # noqa: PLC0415
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _fn(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        cache: dict = {}
+        vote_rows: list = []
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            counts = np.zeros(n, dtype=np.int64)
+            tok_idx: list = []
+            for k, t in enumerate(pdf[text_col]):
+                if t is None or (isinstance(t, float) and t != t):
+                    continue  # null text => no tokens (JVM explode_outer)
+                s = t.strip(" ")  # Spark trim: ASCII space only
+                if not s:
+                    continue
+                toks = ws.split(s)
+                counts[k] = len(toks)
+                for tok in toks:
+                    j = cache.get(tok)
+                    if j is None:
+                        j = len(vote_rows)
+                        cache[tok] = j
+                        vote_rows.append(_tok_votes(tok))
+                    tok_idx.append(j)
+            votes = np.zeros((n, 64), dtype=np.int64)
+            if tok_idx:
+                vmat = np.asarray(vote_rows, dtype=np.int8)
+                v64 = vmat[np.asarray(tok_idx, dtype=np.int64)].astype(
+                    np.int64
+                )
+                nz = counts > 0
+                cnz = counts[nz]
+                off = np.zeros(len(cnz), dtype=np.int64)
+                np.cumsum(cnz[:-1], out=off[1:])
+                votes[nz] = np.add.reduceat(v64, off, axis=0)
+            bits = votes > 0
+            chars = np.where(bits[:, ::-1], "1", "0")  # col j <-> bit 63-j
+            sig_int = (
+                (bits.astype(np.uint64) * weights)
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sig": ["".join(r) for r in chars],
+                    "sig_int": sig_int,
+                }
+            )
+
+    return _fn
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_bands: int = 8
+    df: DataFrame, id_col: str, text_col: str, n_bands: int = 8,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Per-doc 64-bit SimHash as a bit string + LSH bands.
 
@@ -69,9 +160,26 @@ def simhash_signatures(
     ``conv``) rather than ``xxhash64``: md5 is engine-portable, which
     makes the whole operator reproducible in the DuckDB correctness
     oracle (round-1 fix; bit i = nibble i//4 of the hex digest, within-
-    nibble bit i%4).  Still one hash aggregation, zero Python.
+    nibble bit i%4).
+
+    ``use_kernel=True`` (default) computes the per-doc signature in one
+    Arrow ``mapInPandas`` pass — a signature is a row-local function of
+    the text, so this removes the token explode (~55 rows/doc), the 64
+    interpreted partial-aggregate expressions and the groupBy exchange
+    entirely; bit-equality with the JVM path is pytest-pinned.  The
+    JVM expression path (``use_kernel=False``) remains the semantic
+    reference.
     """
     from .skew import spread_if_narrow  # noqa: PLC0415
+
+    if use_kernel:
+        base = spread_if_narrow(df).select(id_col, text_col)
+        id_ddl = base.schema[id_col].dataType.simpleString()
+        out = base.mapInPandas(
+            _sig_kernel_fn(id_col, text_col),
+            schema=f"{id_col} {id_ddl}, sig string, sig_int bigint",
+        )
+        return _with_bands(out, n_bands)
 
     toks = spread_if_narrow(df).select(
         id_col, F.explode_outer(tokens_col(F.col(text_col))).alias("tok")
@@ -128,6 +236,10 @@ def simhash_signatures(
             ).otherwise(F.lit(0).cast("long"))
         )
     out = votes.select(id_col, sig.alias("sig"), sig_int.alias("sig_int"))
+    return _with_bands(out, n_bands)
+
+
+def _with_bands(out: DataFrame, n_bands: int) -> DataFrame:
     band_w = SIG_BITS // n_bands
     bands = F.array(
         *[
