@@ -64,6 +64,40 @@ def test_simhash_signatures_kernel_matches_jvm(spark):
     assert kern == jvm
 
 
+def test_jaccard_shingle_kernel_matches_jvm(spark):
+    """The Arrow shingle-emission kernel must produce EXACTLY the JVM
+    explode(array_distinct(shingles))'s result set — across cap
+    settings and Java tokenization edge cases."""
+    from web_crawler_spark.operators.text import jaccard_pairs
+
+    texts = [
+        "spark window merge table query scan batch", "", "   ", None,
+        "a b", "a b c", "a b c d", "a\tb c d e", "a\t", "\ta b c",
+        "a\xa0b c d", "x\x0by\fz\rw q r", "one  two   three four",
+        "dup dup dup dup dup", "same doc here again now",
+        "same doc here again now", "same doc here again then",
+        " ".join("tok%d" % (i % 7) for i in range(300)),
+        " ".join("tok%d" % (i % 7) for i in range(299)),
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for md in [None, 3, 50]:
+        kern = sorted(
+            map(tuple, jaccard_pairs(
+                df, "doc_id", "text", min_jaccard=0.0, max_df=md,
+                use_kernel=True,
+            ).collect())
+        )
+        jvm = sorted(
+            map(tuple, jaccard_pairs(
+                df, "doc_id", "text", min_jaccard=0.0, max_df=md,
+                use_kernel=False,
+            ).collect())
+        )
+        assert kern == jvm, f"max_df={md}"
+
+
 def test_simhash_identical_docs_distance_zero(spark, sim_docs):
     sigs = simhash_signatures(sim_docs, "doc_id", "text")
     by_id = {r.doc_id: r.sig for r in sigs.collect()}

@@ -67,6 +67,64 @@ def _tok_votes(tok: str) -> np.ndarray:
     return (2 * bits - 1).astype(np.int8)
 
 
+def _java_tokenizer():
+    """Python twin of ``tokens_col`` — Spark's ``split(trim(text),
+    '\\s+')`` EXACTLY: ``trim`` strips ASCII spaces only, the pattern
+    is Java's ``\\s`` = ``[ \\t\\n\\x0b\\f\\r]`` (not Python's
+    Unicode-aware ``\\s``), and Java's limit=-1 keeps leading/trailing
+    empty-string tokens.  Returns a callable text -> list[str]
+    (empty list for null/blank text)."""
+    import re  # noqa: PLC0415
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _toks(t):
+        if t is None or (isinstance(t, float) and t != t):
+            return []
+        s = t.strip(" ")
+        if not s:
+            return []
+        return ws.split(s)
+
+    return _toks
+
+
+def _shingle_kernel_fn(id_col: str, text_col: str, n: int):
+    """mapInPandas body emitting the per-doc DISTINCT n-gram shingle
+    rows (id, sh) — the Python twin of ``explode(array_distinct(
+    shingles_col(tokens_col(text), n)))``, which evaluated an
+    interpreted slice+array_join lambda per shingle (~52/doc).  Shingle
+    strings are byte-identical (" ".join of the same token slice);
+    distinctness keeps FIRST occurrence (same as ``array_distinct``,
+    though downstream consumers are order-insensitive).  Pinned by
+    ``test_jaccard_shingle_kernel_matches_jvm``."""
+    toks_of = _java_tokenizer()
+
+    def _fn(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids: list = []
+            shs: list = []
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            for k, t in enumerate(pdf[text_col]):
+                toks = toks_of(t)
+                cnt = len(toks) - (n - 1)
+                if cnt <= 0:
+                    continue
+                uniq = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(cnt)
+                )
+                counts[k] = len(uniq)
+                shs.extend(uniq)
+            idv = np.repeat(pdf[id_col].to_numpy(), counts)
+            yield pd.DataFrame({id_col: idv, "sh": shs})
+
+    return _fn
+
+
 def _sig_kernel_fn(id_col: str, text_col: str):
     """mapInPandas body computing (id, sig, sig_int) per document.
 
@@ -86,9 +144,7 @@ def _sig_kernel_fn(id_col: str, text_col: str):
     aggregate per doc); per-batch token→vote cache makes the md5 cost
     one hash per DISTINCT token per batch.
     """
-    import re  # noqa: PLC0415
-
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    toks_of = _java_tokenizer()
 
     def _fn(batches):
         import pandas as pd  # noqa: PLC0415 — executor-side import
@@ -103,12 +159,7 @@ def _sig_kernel_fn(id_col: str, text_col: str):
             counts = np.zeros(n, dtype=np.int64)
             tok_idx: list = []
             for k, t in enumerate(pdf[text_col]):
-                if t is None or (isinstance(t, float) and t != t):
-                    continue  # null text => no tokens (JVM explode_outer)
-                s = t.strip(" ")  # Spark trim: ASCII space only
-                if not s:
-                    continue
-                toks = ws.split(s)
+                toks = toks_of(t)
                 counts[k] = len(toks)
                 for tok in toks:
                     j = cache.get(tok)
@@ -654,6 +705,7 @@ def jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.5,
     max_df: int | None = None,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard similarity join (set semantics).
 
@@ -680,12 +732,25 @@ def jaccard_pairs(
     from pyspark.sql import Window  # noqa: PLC0415
 
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
-    sh = spread_if_narrow(df).select(
-        id_col,
-        F.explode(
-            F.array_distinct(shingles_col(tokens_col(F.col(text_col)), n))
-        ).alias("sh"),
-    ).repartition(n_part, "sh")
+    if use_kernel:
+        # per-doc distinct-shingle emission in one Arrow pass — the JVM
+        # explode path evaluated an interpreted slice+array_join lambda
+        # per shingle (~52/doc; measured 1.9 s of the 4.2 s sf1.0-shape
+        # query).  Byte-identical shingle strings, pytest-pinned.
+        base = spread_if_narrow(df).select(id_col, text_col)
+        id_ddl = base.schema[id_col].dataType.simpleString()
+        sh = base.mapInPandas(
+            _shingle_kernel_fn(id_col, text_col, n),
+            schema=f"{id_col} {id_ddl}, sh string",
+        )
+    else:
+        sh = spread_if_narrow(df).select(
+            id_col,
+            F.explode(
+                F.array_distinct(shingles_col(tokens_col(F.col(text_col)), n))
+            ).alias("sh"),
+        )
+    sh = sh.repartition(n_part, "sh")
     if max_df is not None:
         # document frequency as a window over the sh-partitioned frame:
         # the cap reuses the ONE exchange above instead of growing its
@@ -703,6 +768,17 @@ def jaccard_pairs(
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
+        # pin a second exchange on the CAPPED stream: only Exchange
+        # subtrees are reused across consumers, so without it each of
+        # the three consumers below (sizes, both join sides) re-sorts
+        # the full occurrence stream and re-evaluates the window from
+        # the first exchange (measured: 3 sorts of the 2.6M-row frame
+        # at sf1.0 shape).  Cost/benefit at any scale: one extra
+        # shuffle WRITE of the post-cap bytes (<= the input stream,
+        # minus the hot-shingle mass) buys removing two full
+        # sort+window passes — and the three consumers then read the
+        # smaller capped stream instead of the raw one.
+        sh = sh.repartition(n_part, "sh")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
