@@ -258,27 +258,15 @@ def q_minhash_band_buckets(spark, sf_dir):
     aggregates, then unpivot (stack) — the round-1 plan exploded the
     shingle set x4 bands before aggregating, quadrupling shuffle input
     (it was the slowest bench query for exactly that reason)."""
-    from web_crawler_spark.operators.skew import spread_if_narrow
+    from web_crawler_spark.operators.text import minhash_band_sigs
 
-    # a single-file documents scan is ONE task; the shingle explode +
-    # 4x md5 partial aggregation above it inherits that (round-5 stage
-    # profile: 5.3s in one task at sf0.1) — no-op on wide scans
-    d = spread_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    words = _tokens(F.col("text"))
-    n_sh = F.greatest(F.size(words) - F.lit(2), F.lit(0))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.array_join(F.slice(words, i, 3), " "),
-    )
-    sh = d.select(
-        "doc_id", F.explode(F.when(n_sh > 0, shingles)).alias("shingle")
-    )
-    sigs_wide = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"_s{b}")
-            for b in range(4)
-        ]
-    )
+    # per-doc band sigs are ROW-LOCAL (min over the row's own shingle
+    # set): one Arrow pass, no shingle explode / md5-per-occurrence-
+    # per-band / groupBy exchange (kernel == JVM path pytest-pinned;
+    # spread_if_narrow applied inside so a single-file scan still fans
+    # out)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs_wide = minhash_band_sigs(d, "doc_id", "text", n_bands=4, n=3)
     sigs = sigs_wide.select(
         "doc_id",
         F.expr("stack(4, 0, _s0, 1, _s1, 2, _s2, 3, _s3) AS (band, sig)"),

@@ -98,6 +98,32 @@ def test_jaccard_shingle_kernel_matches_jvm(spark):
         assert kern == jvm, f"max_df={md}"
 
 
+def test_minhash_band_sigs_kernel_matches_jvm(spark):
+    """The row-local MinHash kernel must equal the JVM explode +
+    B×min(md5) aggregate path exactly — including the docs-with-no-
+    shingles row-absence and lexicographic hex ordering."""
+    from web_crawler_spark.operators.text import minhash_band_sigs
+
+    texts = [
+        "spark window merge table query scan batch", "", "   ", None,
+        "a b", "a b c", "a b c d", "a\tb c d e", "a\t", "\ta b c",
+        "a\xa0b c d", "x\x0by\fz\rw q r", "one  two   three four",
+        "dup dup dup dup dup", "same doc here again now",
+        " ".join("tok%d" % (i % 7) for i in range(300)),
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for nb, n in [(4, 3), (2, 2)]:
+        kern = sorted(map(tuple, minhash_band_sigs(
+            df, "doc_id", "text", n_bands=nb, n=n, use_kernel=True
+        ).collect()))
+        jvm = sorted(map(tuple, minhash_band_sigs(
+            df, "doc_id", "text", n_bands=nb, n=n, use_kernel=False
+        ).collect()))
+        assert kern == jvm, f"n_bands={nb} n={n}"
+
+
 def test_simhash_identical_docs_distance_zero(spark, sim_docs):
     sigs = simhash_signatures(sim_docs, "doc_id", "text")
     by_id = {r.doc_id: r.sig for r in sigs.collect()}

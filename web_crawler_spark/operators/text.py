@@ -125,6 +125,105 @@ def _shingle_kernel_fn(id_col: str, text_col: str, n: int):
     return _fn
 
 
+def _minhash_kernel_fn(id_col: str, text_col: str, n_bands: int, n: int):
+    """mapInPandas body for ``minhash_band_sigs``: per doc, the
+    lexicographic min of ``md5(f"{b}|" + shingle)`` over the doc's own
+    n-gram shingles, one column per band.  Row-local (min over the
+    row's shingle set), so no explode and no aggregation exchange; a
+    per-batch shingle→digests cache hashes each DISTINCT shingle once
+    per batch (the JVM path evaluated concat+md5 per occurrence × per
+    band).  Docs with no shingles emit NO row — matching the JVM
+    ``explode`` (not outer) + groupBy.  Hex digests are ASCII, so
+    Python ``<`` equals Spark's binary string ordering."""
+    toks_of = _java_tokenizer()
+    prefixes = [f"{b}|".encode() for b in range(n_bands)]
+
+    def _fn(batches):
+        import hashlib  # noqa: PLC0415 — executor-side import
+
+        import pandas as pd  # noqa: PLC0415
+
+        cache: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_ids: list = []
+            out_sigs: list = [[] for _ in range(n_bands)]
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                toks = toks_of(t)
+                cnt = len(toks) - (n - 1)
+                if cnt <= 0:
+                    continue
+                uniq = set(" ".join(toks[i : i + n]) for i in range(cnt))
+                mins = [None] * n_bands
+                for s in uniq:
+                    e = cache.get(s)
+                    if e is None:
+                        sb = s.encode("utf-8")
+                        e = tuple(
+                            hashlib.md5(prefixes[b] + sb).hexdigest()
+                            for b in range(n_bands)
+                        )
+                        cache[s] = e
+                    for b in range(n_bands):
+                        if mins[b] is None or e[b] < mins[b]:
+                            mins[b] = e[b]
+                out_ids.append(did)
+                for b in range(n_bands):
+                    out_sigs[b].append(mins[b])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_ids, dtype=pdf[id_col].dtype),
+                    **{
+                        f"_s{b}": pd.Series(out_sigs[b], dtype="object")
+                        for b in range(n_bands)
+                    },
+                }
+            )
+
+    return _fn
+
+
+def minhash_band_sigs(
+    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4,
+    n: int = 3, use_kernel: bool = True,
+) -> DataFrame:
+    """Per-doc MinHash band signatures (wide): columns ``_s0.._s{B-1}``
+    = lexicographic min of ``md5(f"{b}|" + shingle)`` over the doc's
+    n-word shingles; docs with < n words emit no row.  The kernel path
+    (default) computes this row-locally in one Arrow pass — no shingle
+    explode, no md5-per-occurrence-per-band, no groupBy exchange; the
+    JVM explode + B×min() aggregate path is kept as the semantic
+    reference (bit-equality pytest-pinned)."""
+    from .skew import spread_if_narrow  # noqa: PLC0415
+
+    base = spread_if_narrow(df).select(id_col, text_col)
+    if use_kernel:
+        id_ddl = base.schema[id_col].dataType.simpleString()
+        sig_cols = ", ".join(f"_s{b} string" for b in range(n_bands))
+        return base.mapInPandas(
+            _minhash_kernel_fn(id_col, text_col, n_bands, n),
+            schema=f"{id_col} {id_ddl}, {sig_cols}",
+        )
+    words = tokens_col(F.col(text_col))
+    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    sh = base.select(
+        id_col, F.explode(F.when(n_sh > 0, shingles)).alias("shingle")
+    )
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))
+            ).alias(f"_s{b}")
+            for b in range(n_bands)
+        ]
+    )
+
+
 def _sig_kernel_fn(id_col: str, text_col: str):
     """mapInPandas body computing (id, sig, sig_int) per document.
 
