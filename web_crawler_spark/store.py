@@ -31,6 +31,7 @@ deltas into a consolidated base (Iceberg's rewrite_data_files).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import time
 from pathlib import Path
@@ -399,7 +400,7 @@ class SnapshotStore:
         df.coalesce(files).write.mode("overwrite").parquet(str(path))
 
     def write_delta_union(
-        self, df: DataFrame, crawl_id: str, wave: int, files: int = 8
+        self, df: DataFrame, crawl_id: str, wave: int, files: int | None = None
     ) -> None:
         """Write ALL of a wave's deltas as ONE Spark job: ``df`` is the
         union of the inserts/edges/updates rows over a superset schema
@@ -414,6 +415,8 @@ class SnapshotStore:
         caps pre-saturation scaling, BENCH/BASELINE.md).  Reading the
         partition subdirectory directly yields only the file columns (no
         inferred ``kind``), so per-kind reads keep their exact schema."""
+        if files is None:
+            files = int(os.environ.get("SPARK_GRAFT_DELTA_FILES", "8"))
         path = self.wave_dir(crawl_id, wave) / "delta.parquet"
         (
             df.coalesce(files)
